@@ -1,0 +1,93 @@
+"""Typed model configuration for decoder-only bidirectional encoders.
+
+Collapses the reference's three-tier config system (HF AutoConfig + JSON
+overrides + bash-encoded hyperparameters; see reference
+scaling_retriever/tasks/sparse_trainer.py:270-335 and train_configs/*.json)
+into one dataclass that can be constructed directly or from an HF
+``config.json``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for a Llama/Qwen2-style transformer.
+
+    Field names follow the HF config.json vocabulary so checkpoints load
+    without a translation table.
+    """
+
+    vocab_size: int = 128256
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 16
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[dict] = None
+    max_position_embeddings: int = 131072
+    tie_word_embeddings: bool = True
+    # Qwen2 uses bias on q/k/v projections, Llama does not
+    # (reference bidrectional_qwen2.py relies on HF Qwen2 internals for this).
+    attention_qkv_bias: bool = False
+    model_type: str = "llama"
+    # Compute/runtime knobs (not architecture):
+    dtype: Any = jnp.float32          # activation dtype
+    param_dtype: Any = jnp.float32    # parameter storage dtype
+    attention_impl: str = "xla"       # "xla" | "einsum" | "pallas"
+    remat: bool = False               # rematerialize each layer's activations
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_attention_heads
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_attention_heads * self.head_dim_
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_key_value_heads * self.head_dim_
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict, **overrides) -> "ModelConfig":
+        """Build from a parsed HF ``config.json`` dict."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in cfg.items() if k in known}
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, **overrides) -> "ModelConfig":
+        with open(os.path.join(model_dir, "config.json")) as f:
+            cfg = json.load(f)
+        return cls.from_hf_config(cfg, **overrides)
+
+    def to_hf_config(self) -> dict:
+        """Serialize architecture fields to an HF-style config dict."""
+        return {
+            "architectures": ["LlamaForCausalLM" if self.model_type == "llama" else "Qwen2ForCausalLM"],
+            "model_type": self.model_type,
+            "vocab_size": self.vocab_size,
+            "hidden_size": self.hidden_size,
+            "intermediate_size": self.intermediate_size,
+            "num_hidden_layers": self.num_hidden_layers,
+            "num_attention_heads": self.num_attention_heads,
+            "num_key_value_heads": self.num_key_value_heads,
+            "head_dim": self.head_dim_,
+            "rms_norm_eps": self.rms_norm_eps,
+            "rope_theta": self.rope_theta,
+            "rope_scaling": self.rope_scaling,
+            "max_position_embeddings": self.max_position_embeddings,
+            "tie_word_embeddings": self.tie_word_embeddings,
+        }
