@@ -1,0 +1,169 @@
+"""Exact inner-product dense index on TPU — the faiss-cpu replacement.
+
+The reference wraps ``faiss.IndexFlatIP`` (reference
+scaling_retriever/indexer.py:127-217: buffered ``add``, ``search_knn`` with
+faiss-row→doc-id mapping, ``index.dpr`` serialization). Exact flat IP search
+is a matmul; on TPU it belongs on the MXU:
+
+    scores = Q @ D^T   (bf16 in, f32 accumulate), chunked over docs with a
+    running top-k merge, and doc-sharded over the device mesh with an
+    all_gather + final top-k (parallel/topk.py) when more than one chip is
+    available.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import pickle
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _search_chunked(docs: jax.Array, queries: jax.Array, k: int,
+                    chunk: int = 262144) -> tuple[jax.Array, jax.Array]:
+    """Exact IP top-k: docs [N, D] (N multiple of chunk), queries [nq, D].
+    Returns (scores [nq, k], rows [nq, k])."""
+    n, d = docs.shape
+    nq = queries.shape[0]
+    nb = n // chunk
+    blocks = docs.reshape(nb, chunk, d)
+
+    def body(carry, xs):
+        top_s, top_i = carry
+        blk, blk_idx = xs
+        s = jnp.einsum("qd,cd->qc", queries, blk,
+                       preferred_element_type=jnp.float32)
+        rows = blk_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (nq, chunk), 1)
+        cat_s = jnp.concatenate([top_s, s], axis=1)
+        cat_i = jnp.concatenate([top_i, rows], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
+            jnp.full((nq, k), -1, jnp.int32))
+    (scores, rows), _ = jax.lax.scan(body, init,
+                                     (blocks, jnp.arange(nb, dtype=jnp.int32)))
+    return scores, rows
+
+
+class DenseIndexer:
+    """Abstract surface matching the reference DenseIndexer (indexer.py:127-188)."""
+
+    def __init__(self, buffer_size: int = 50000):
+        self.buffer_size = buffer_size
+        self.index_id_to_db_id: List = []
+
+    def init_index(self, vector_sz: int):
+        raise NotImplementedError
+
+    def index_data(self, data: List[Tuple[object, np.ndarray]]):
+        raise NotImplementedError
+
+    def search_knn(self, query_vectors: np.ndarray, top_docs: int):
+        raise NotImplementedError
+
+    def _update_id_mapping(self, db_ids: List) -> int:
+        self.index_id_to_db_id.extend(db_ids)
+        return len(self.index_id_to_db_id)
+
+
+class DenseFlatIndexer(DenseIndexer):
+    """Exact IP flat index; drop-in for the reference's faiss version
+    (indexer.py:191-217) with TPU matmul search."""
+
+    INDEX_FILE = "index_srt.npz"
+    META_FILE = "index_meta_srt.json"
+
+    def __init__(self, buffer_size: int = 50000, dtype=jnp.bfloat16,
+                 chunk: int = 262144):
+        super().__init__(buffer_size)
+        self._vectors: List[np.ndarray] = []
+        self._n = 0
+        self.vector_sz: Optional[int] = None
+        self.dtype = dtype
+        self.chunk = chunk
+        self._device_docs: Optional[jax.Array] = None
+
+    def init_index(self, vector_sz: int):
+        self.vector_sz = vector_sz
+        self._vectors = []
+        self._n = 0
+        self.index_id_to_db_id = []
+        self._device_docs = None
+
+    @property
+    def ntotal(self) -> int:
+        return self._n
+
+    def index_data(self, data: Sequence[Tuple[object, np.ndarray]]):
+        """Buffered add of (db_id, vector) pairs (reference indexer.py:196-208)."""
+        for i in range(0, len(data), self.buffer_size):
+            chunk = data[i:i + self.buffer_size]
+            db_ids = [t[0] for t in chunk]
+            vectors = np.stack([np.reshape(t[1], -1) for t in chunk]).astype(np.float32)
+            self._vectors.append(vectors)
+            self._n += len(db_ids)
+            self._update_id_mapping(db_ids)
+        self._device_docs = None
+
+    def add_batch(self, db_ids: Sequence, vectors: np.ndarray):
+        self._vectors.append(np.asarray(vectors, np.float32))
+        self._n += len(db_ids)
+        self._update_id_mapping(list(db_ids))
+        self._device_docs = None
+
+    def _materialize(self) -> jax.Array:
+        if self._device_docs is None:
+            docs = (np.concatenate(self._vectors, axis=0) if self._vectors
+                    else np.zeros((0, self.vector_sz), np.float32))
+            n = docs.shape[0]
+            n_pad = max(self.chunk, -(-n // self.chunk) * self.chunk) if n else self.chunk
+            if n_pad != n:
+                docs = np.pad(docs, ((0, n_pad - n), (0, 0)))
+            self._device_docs = jnp.asarray(docs, self.dtype)
+        return self._device_docs
+
+    def search_knn(self, query_vectors: np.ndarray, top_docs: int
+                   ) -> List[Tuple[List, List[float]]]:
+        """Returns [(db_ids, scores), ...] per query (indexer.py:210-217)."""
+        assert self._n > 0, "index is empty"
+        docs = self._materialize()
+        q = jnp.asarray(np.asarray(query_vectors, np.float32), self.dtype)
+        k = min(top_docs, self._n)
+        scores, rows = _search_chunked(docs, q, k=k, chunk=self.chunk)
+        scores = np.asarray(scores, np.float32)
+        rows = np.asarray(rows)
+        out = []
+        for qi in range(rows.shape[0]):
+            valid = rows[qi] < self._n
+            db_ids = [self.index_id_to_db_id[r] for r in rows[qi][valid]]
+            out.append((db_ids, scores[qi][valid].tolist()))
+        return out
+
+    def serialize(self, index_dir: str):
+        os.makedirs(index_dir, exist_ok=True)
+        docs = (np.concatenate(self._vectors, axis=0) if self._vectors
+                else np.zeros((0, self.vector_sz or 0), np.float32))
+        np.savez(os.path.join(index_dir, self.INDEX_FILE),
+                 vectors=docs.astype(np.float16) if docs.dtype != np.float16 else docs,
+                 vector_sz=np.int64(self.vector_sz or docs.shape[1]))
+        with open(os.path.join(index_dir, self.META_FILE), "w") as f:
+            json.dump(self.index_id_to_db_id, f)
+
+    def deserialize(self, index_dir: str):
+        data = np.load(os.path.join(index_dir, self.INDEX_FILE))
+        self.init_index(int(data["vector_sz"]))
+        vectors = data["vectors"].astype(np.float32)
+        with open(os.path.join(index_dir, self.META_FILE)) as f:
+            ids = json.load(f)
+        if len(ids):
+            self.add_batch(ids, vectors)
+        assert self._n == len(self.index_id_to_db_id), \
+            "deserialized index size mismatch (reference indexer.py:182-184)"

@@ -1,0 +1,266 @@
+"""Impact-ordered sparse index structures.
+
+Replaces the reference's ``IndexDictOfArray`` (reference
+scaling_retriever/utils/inverted_index.py:15-105: one h5py dataset per vocab
+dim + pickled doc-id map) with two coupled layouts:
+
+  * **CSR postings** — ``offsets[V+1]`` into concatenated ``doc_rows``/
+    ``values`` arrays. Used for persistence, the C++ CPU engine, stats, and
+    merging. One flat binary ``.npz`` instead of 128k tiny HDF5 datasets.
+  * **doc-major impact matrix** — ``terms[N, K]`` / ``vals[N, K]`` (padded to
+    a fixed K). This is the TPU-native scoring layout: query scoring becomes
+    a static-shape gather + reduce that streams the index once per query
+    tile (see ops/sparse_scoring.py), replacing the reference's numba
+    term-at-a-time scatter-add (indexer.py:324-344).
+
+Both are pure-numpy host structures; device placement happens in
+sparse_retrieval.py. An h5py reader/writer is provided for interop with
+reference-built indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+INDEX_FILE = "csr_index.npz"
+DOC_IDS_FILE = "doc_ids.json"
+
+
+class SparseIndex:
+    """CSR impact index over (doc_row, term, value) triples.
+
+    ``doc_ids`` maps row → external id. A complete index passes a list
+    aligned to rows 0..n-1; a shard built with interleaved global rows
+    (reference indexer.py:259-262 semantics) passes a dict {global_row: id},
+    which is densified with ``None`` holes (mirroring the reference's
+    ``n = max_row + 1`` convention, inverted_index.py:44-55).
+    """
+
+    def __init__(self, offsets: np.ndarray, doc_rows: np.ndarray,
+                 values: np.ndarray, doc_ids, dim: int):
+        assert offsets.shape[0] == dim + 1
+        self.offsets = offsets.astype(np.int64)
+        self.doc_rows = doc_rows.astype(np.int32)
+        self.values = values.astype(np.float32)
+        if isinstance(doc_ids, dict):
+            n = (max(int(k) for k in doc_ids) + 1) if doc_ids else 0
+            dense: list = [None] * n
+            for row, docid in doc_ids.items():
+                dense[int(row)] = docid
+            self.doc_ids = dense
+        else:
+            self.doc_ids = list(doc_ids)
+        self.dim = int(dim)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_triples(cls, rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                     doc_ids: Sequence[str], dim: int) -> "SparseIndex":
+        """Build CSR from unsorted triples (one counting-sort pass by term)."""
+        rows = np.asarray(rows, np.int32)
+        cols = np.asarray(cols, np.int64)
+        vals = np.asarray(vals, np.float32)
+        counts = np.bincount(cols, minlength=dim)
+        offsets = np.zeros(dim + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        order = np.argsort(cols, kind="stable")
+        return cls(offsets, rows[order], vals[order], doc_ids, dim)
+
+    @classmethod
+    def from_doc_major(cls, terms: np.ndarray, vals: np.ndarray,
+                       doc_ids: Sequence[str], dim: int) -> "SparseIndex":
+        mask = vals > 0
+        rows = np.broadcast_to(
+            np.arange(terms.shape[0], dtype=np.int32)[:, None], terms.shape)[mask]
+        return cls.from_triples(rows, terms[mask].astype(np.int64), vals[mask],
+                                doc_ids, dim)
+
+    # -- accessors -----------------------------------------------------------
+
+    @property
+    def nnz(self) -> int:
+        return int(self.doc_rows.shape[0])
+
+    def nb_docs(self) -> int:
+        return len(self.doc_ids)
+
+    def __len__(self) -> int:
+        return int(np.sum(np.diff(self.offsets) > 0))
+
+    def posting(self, term: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = self.offsets[term], self.offsets[term + 1]
+        return self.doc_rows[s:e], self.values[s:e]
+
+    def l0_d(self) -> float:
+        """Average non-zeros per doc (reference 'L0_d' in index_stats.json)."""
+        return self.nnz / max(1, self.nb_docs())
+
+    def index_dist(self) -> dict:
+        """Posting-list sizes keyed by term id (reference index_dist.json,
+        inverted_index.py:101-105). Only non-empty terms are listed."""
+        sizes = np.diff(self.offsets)
+        nz = np.nonzero(sizes)[0]
+        return {int(t): int(sizes[t]) for t in nz}
+
+    def to_doc_major(self, k: Optional[int] = None, pad_multiple: int = 8
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Invert to [N, K] (terms, vals); K = max per-doc nnz rounded up."""
+        n = self.nb_docs()
+        per_doc = np.bincount(self.doc_rows, minlength=n)
+        kmax = int(per_doc.max()) if per_doc.size else 1
+        if k is None:
+            k = max(pad_multiple, -(-kmax // pad_multiple) * pad_multiple)
+        assert kmax <= k, (kmax, k)
+        terms = np.zeros((n, k), np.int32)
+        vals = np.zeros((n, k), np.float32)
+        # stable sort postings by doc row, then fill row-wise
+        order = np.argsort(self.doc_rows, kind="stable")
+        sorted_rows = self.doc_rows[order]
+        term_of = np.repeat(np.arange(self.dim, dtype=np.int64), np.diff(self.offsets))
+        sorted_terms = term_of[order]
+        sorted_vals = self.values[order]
+        slot = np.zeros(len(sorted_rows), np.int64)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(per_doc, out=starts[1:])
+        slot = np.arange(len(sorted_rows)) - starts[sorted_rows]
+        terms[sorted_rows, slot] = sorted_terms.astype(np.int32)
+        vals[sorted_rows, slot] = sorted_vals
+        return terms, vals
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, index_dir: str) -> None:
+        os.makedirs(index_dir, exist_ok=True)
+        np.savez(os.path.join(index_dir, INDEX_FILE),
+                 offsets=self.offsets, doc_rows=self.doc_rows,
+                 values=self.values, dim=np.int64(self.dim))
+        with open(os.path.join(index_dir, DOC_IDS_FILE), "w") as f:
+            json.dump(self.doc_ids, f)
+        with open(os.path.join(index_dir, "index_dist.json"), "w") as f:
+            json.dump(self.index_dist(), f)
+        with open(os.path.join(index_dir, "index_stats.json"), "w") as f:
+            json.dump({"L0_d": self.l0_d()}, f)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "SparseIndex":
+        npz_path = os.path.join(index_dir, INDEX_FILE)
+        if not os.path.exists(npz_path):
+            return cls.load_h5py(index_dir)
+        data = np.load(npz_path)
+        ids_path = os.path.join(index_dir, DOC_IDS_FILE)
+        if os.path.exists(ids_path):
+            with open(ids_path) as f:
+                doc_ids = json.load(f)
+        else:
+            doc_ids = _load_reference_doc_ids(index_dir)
+        return cls(data["offsets"], data["doc_rows"], data["values"],
+                   doc_ids, int(data["dim"]))
+
+    # -- reference h5py interop ----------------------------------------------
+
+    def save_h5py(self, index_dir: str, filename: str = "array_index.h5py") -> None:
+        """Write the reference's per-term-dataset HDF5 layout + doc_ids.pkl
+        (inverted_index.py:84-105) so reference tooling can read our index."""
+        import h5py
+
+        os.makedirs(index_dir, exist_ok=True)
+        with h5py.File(os.path.join(index_dir, filename), "w") as f:
+            f.create_dataset("dim", data=int(self.dim))
+            sizes = np.diff(self.offsets)
+            for t in np.nonzero(sizes)[0]:
+                rows, vals = self.posting(int(t))
+                f.create_dataset(f"index_doc_id_{t}", data=rows.astype(np.int32))
+                f.create_dataset(f"index_doc_value_{t}", data=vals.astype(np.float32))
+        with open(os.path.join(index_dir, "doc_ids.pkl"), "wb") as f:
+            pickle.dump(list(self.doc_ids), f)
+        with open(os.path.join(index_dir, "index_dist.json"), "w") as f:
+            json.dump(self.index_dist(), f)
+        with open(os.path.join(index_dir, "index_stats.json"), "w") as f:
+            json.dump({"L0_d": self.l0_d()}, f)
+
+    @classmethod
+    def load_h5py(cls, index_dir: str, filename: str = "array_index.h5py",
+                  dim_voc: Optional[int] = None) -> "SparseIndex":
+        """Read a reference-built index (inverted_index.py:22-55)."""
+        import h5py
+
+        path = os.path.join(index_dir, filename)
+        rows_list, vals_list = [], []
+        with h5py.File(path, "r") as f:
+            dim = dim_voc if dim_voc is not None else int(f["dim"][()])
+            offsets = np.zeros(dim + 1, np.int64)
+            for t in range(dim):
+                key = f"index_doc_id_{t}"
+                if key in f:
+                    r = np.asarray(f[key], np.int32)
+                    v = np.asarray(f[f"index_doc_value_{t}"], np.float32)
+                    rows_list.append(r)
+                    vals_list.append(v)
+                    offsets[t + 1] = offsets[t] + len(r)
+                else:
+                    offsets[t + 1] = offsets[t]
+        doc_rows = (np.concatenate(rows_list) if rows_list
+                    else np.zeros(0, np.int32))
+        values = (np.concatenate(vals_list) if vals_list
+                  else np.zeros(0, np.float32))
+        doc_ids = _load_reference_doc_ids(index_dir)
+        return cls(offsets, doc_rows, values, doc_ids, dim)
+
+
+def _load_reference_doc_ids(index_dir: str) -> list:
+    pkl = os.path.join(index_dir, "doc_ids.pkl")
+    if os.path.exists(pkl):
+        with open(pkl, "rb") as f:
+            ids = pickle.load(f)
+        if isinstance(ids, dict):
+            # reference merge writes a {row: docid} dict (inverted_index.py:148-149)
+            n = max(ids.keys()) + 1
+            out = [None] * n
+            for row, docid in ids.items():
+                out[int(row)] = docid
+            return out
+        return list(ids)
+    raise FileNotFoundError(f"no doc id map in {index_dir}")
+
+
+def merge_indexes(index_dirs: Sequence[str], out_dir: Optional[str],
+                  dim_voc: int) -> SparseIndex:
+    """Concatenate per-shard indexes into one (reference
+    inverted_index.py:108-170). Shard postings carry **global** interleaved
+    doc rows (``g = local * n_shards + shard``, reference indexer.py:259-262)
+    and shard doc-id maps are {global_row: id}, so merging is a pure
+    concatenation of posting lists plus a dict union — no renumbering.
+    """
+    parts = [SparseIndex.load(d) for d in index_dirs]
+    offsets = np.zeros(dim_voc + 1, np.int64)
+    sizes = np.zeros(dim_voc, np.int64)
+    for p in parts:
+        assert p.dim <= dim_voc, (p.dim, dim_voc)
+        sizes[:p.dim] += np.diff(p.offsets)
+    np.cumsum(sizes, out=offsets[1:])
+    nnz = int(offsets[-1])
+    doc_rows = np.zeros(nnz, np.int32)
+    values = np.zeros(nnz, np.float32)
+    cursor = offsets[:-1].copy()
+    for p in parts:
+        psizes = np.diff(p.offsets)
+        for t in np.nonzero(psizes)[0]:
+            r, v = p.posting(int(t))
+            c = cursor[t]
+            doc_rows[c:c + len(r)] = r
+            values[c:c + len(r)] = v
+            cursor[t] += len(r)
+
+    merged_ids: dict = {}
+    for p in parts:
+        merged_ids.update({row: d for row, d in enumerate(p.doc_ids) if d is not None})
+    merged = SparseIndex(offsets, doc_rows, values, merged_ids, dim_voc)
+    if out_dir:
+        merged.save(out_dir)
+    return merged

@@ -1,0 +1,144 @@
+"""Sparse retrieval engine: on-chip impact scoring over the doc-major index.
+
+Replaces the reference ``SparseRetrieval`` (scaling_retriever/indexer.py:
+311-612): numba scatter-add kernel + 4-thread pool + argpartition top-k on
+>32 CPUs. Here query tiles are encoded on-chip, densified to ``Q^T [V, nq]``,
+and scored against the HBM-resident doc-major index with a fused gather +
+reduce + top-k (ops/sparse_scoring.py); multi-chip merges ride ICI.
+
+Engines:
+  * "xla"    — default, jit scan over doc blocks (single device or mesh)
+  * "pallas" — VMEM-resident query tile kernel (ops/pallas_scoring.py)
+  * "cpp"    — native C++ CSR engine on host (index/cpp_engine.py), the
+               CPU fallback / parity oracle
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaling_retriever_tpu.index.inverted_index import SparseIndex
+from scaling_retriever_tpu.ops.sparse_scoring import (
+    pad_docs, retrieve_doc_major, make_sharded_retrieve,
+)
+
+
+class SparseRetrieval:
+    def __init__(self, model, index: SparseIndex | str, out_dir: Optional[str] = None,
+                 topk: int = 1000, engine: str = "xla", query_tile: int = 32,
+                 block: int = 4096, mesh=None, data_axis: str = "data",
+                 value_dtype=jnp.bfloat16):
+        self.model = model
+        self.index = SparseIndex.load(index) if isinstance(index, str) else index
+        self.out_dir = out_dir
+        self.topk = topk
+        self.engine = engine
+        self.query_tile = query_tile
+        self.block = block
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._cpp = None
+
+        if engine in ("xla", "pallas"):
+            terms_np, vals_np = self.index.to_doc_major()
+            self.n_docs = terms_np.shape[0]
+            terms = jnp.asarray(terms_np)
+            vals = jnp.asarray(vals_np, value_dtype)
+            terms, vals = pad_docs(terms, vals, block)
+            if mesh is not None and mesh.devices.size > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_dev = mesh.devices.size
+                n = terms.shape[0]
+                n_pad = -(-n // (block * n_dev)) * block * n_dev
+                terms = jnp.pad(terms, ((0, n_pad - n), (0, 0)))
+                vals = jnp.pad(vals, ((0, n_pad - n), (0, 0)))
+                sh = NamedSharding(mesh, P(data_axis))
+                self.terms = jax.device_put(terms, sh)
+                self.vals = jax.device_put(vals, sh)
+                self.row_ids = jax.device_put(
+                    jnp.arange(n_pad, dtype=jnp.int32), sh)
+                self._sharded_fn = make_sharded_retrieve(
+                    mesh, data_axis, k=topk, block=block)
+            else:
+                self.terms = terms
+                self.vals = vals
+                self._sharded_fn = None
+        elif engine == "cpp":
+            from scaling_retriever_tpu.index.cpp_engine import CppSparseEngine
+
+            self._cpp = CppSparseEngine(self.index)
+            self.n_docs = self.index.nb_docs()
+        else:
+            raise ValueError(engine)
+
+    # ------------------------------------------------------------------
+
+    def _encode_queries(self, q_loader: Iterable) -> tuple[list, list]:
+        """Encode query batches → (qids, list of dense rep rows [V])
+        (reference _generate_query_vecs, indexer.py:382-403 — but reps stay
+        dense; the sparse extraction happens only for stats)."""
+        qids, reps = [], []
+        for batch in q_loader:
+            r = np.asarray(
+                self.model.encode(batch["input_ids"], batch["attention_mask"]),
+                np.float32)
+            reps.append(r)
+            ids = batch["ids"]
+            qids.extend(ids if isinstance(ids, list) else list(ids))
+        return qids, (np.concatenate(reps, 0) if reps else np.zeros((0, 0), np.float32))
+
+    def retrieve(self, q_loader: Iterable, topk: Optional[int] = None,
+                 threshold: float = 0.0, return_run: bool = True) -> tuple[dict, dict]:
+        """Run retrieval; writes run.json + q_stats.json when out_dir is set
+        (reference indexer.py:530-540)."""
+        topk = topk or self.topk
+        qids, q_dense = self._encode_queries(q_loader)
+        nq = len(qids)
+        stats = {"L0_q": float((q_dense != 0).sum(axis=-1).mean()) if nq else 0.0}
+
+        res: dict = defaultdict(dict)
+        if self.engine == "cpp":
+            ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
+            for qi, qid in enumerate(qids):
+                for row, sc in zip(ids_k[qi], scores_k[qi]):
+                    if row < 0:
+                        break
+                    res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+        else:
+            tile = self.query_tile
+            for start in range(0, nq, tile):
+                q_tile = q_dense[start:start + tile]
+                pad = tile - q_tile.shape[0]
+                if pad:
+                    q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+                q_t = jnp.asarray(q_tile.T)  # [V, tile]
+                if self._sharded_fn is not None:
+                    scores, rows = self._sharded_fn(self.terms, self.vals,
+                                                    self.row_ids, q_t)
+                else:
+                    scores, rows = retrieve_doc_major(
+                        self.terms, self.vals, q_t, k=min(topk, self.n_docs),
+                        block=self.block)
+                scores = np.asarray(scores, np.float32)
+                rows = np.asarray(rows)
+                for local_qi in range(min(tile, nq - start)):
+                    qid = qids[start + local_qi]
+                    for row, sc in zip(rows[local_qi], scores[local_qi]):
+                        if sc > threshold and row < self.n_docs:
+                            res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+
+        if self.out_dir:
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(os.path.join(self.out_dir, "run.json"), "w") as f:
+                json.dump(res, f)
+            with open(os.path.join(self.out_dir, "q_stats.json"), "w") as f:
+                json.dump(stats, f)
+        return (dict(res), stats) if return_run else ({}, stats)

@@ -1,0 +1,213 @@
+"""Index layer: CSR/doc-major structures, TPU scoring ops, C++ engine,
+dense flat index, shard merge — all checked against numpy brute force.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scaling_retriever_tpu.index.inverted_index import SparseIndex, merge_indexes
+from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
+from scaling_retriever_tpu.ops.sparse_scoring import (
+    pad_docs, retrieve_doc_major, score_doc_major, make_sharded_retrieve,
+)
+
+RNG = np.random.default_rng(7)
+V = 512  # toy vocab
+
+
+def _random_sparse_corpus(n_docs=300, avg_nnz=12):
+    rows, cols, vals = [], [], []
+    for d in range(n_docs):
+        nnz = RNG.integers(1, avg_nnz * 2)
+        terms = RNG.choice(V, size=nnz, replace=False)
+        rows.extend([d] * nnz)
+        cols.extend(terms.tolist())
+        vals.extend(RNG.uniform(0.1, 3.0, size=nnz).tolist())
+    doc_ids = [f"d{d}" for d in range(n_docs)]
+    return (np.array(rows), np.array(cols), np.array(vals, np.float32), doc_ids)
+
+
+def _dense_matrix(index: SparseIndex) -> np.ndarray:
+    m = np.zeros((index.nb_docs(), index.dim), np.float32)
+    for t in range(index.dim):
+        r, v = index.posting(t)
+        m[r, t] = v
+    return m
+
+
+@pytest.fixture(scope="module")
+def corpus_index():
+    rows, cols, vals, doc_ids = _random_sparse_corpus()
+    return SparseIndex.from_triples(rows, cols, vals, doc_ids, V)
+
+
+def test_csr_roundtrip_and_doc_major(corpus_index, tmp_path):
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    terms, vals = idx.to_doc_major()
+    # doc-major reconstructs the same dense matrix
+    rebuilt = np.zeros_like(dense)
+    for d in range(dense.shape[0]):
+        np.add.at(rebuilt[d], terms[d], vals[d])
+    np.testing.assert_allclose(rebuilt, dense, atol=1e-6)
+    assert terms.shape[1] % 8 == 0
+
+    idx.save(str(tmp_path / "idx"))
+    loaded = SparseIndex.load(str(tmp_path / "idx"))
+    np.testing.assert_array_equal(loaded.offsets, idx.offsets)
+    np.testing.assert_array_equal(loaded.doc_rows, idx.doc_rows)
+    assert loaded.doc_ids == idx.doc_ids
+    assert loaded.l0_d() == pytest.approx(idx.l0_d())
+
+
+def test_h5py_interop(corpus_index, tmp_path):
+    idx = corpus_index
+    idx.save_h5py(str(tmp_path / "h5"))
+    loaded = SparseIndex.load_h5py(str(tmp_path / "h5"))
+    np.testing.assert_allclose(_dense_matrix(loaded), _dense_matrix(idx), atol=1e-6)
+    assert loaded.doc_ids == idx.doc_ids
+    # reference-style load path through SparseIndex.load falls back to h5py
+    loaded2 = SparseIndex.load(str(tmp_path / "h5"))
+    assert loaded2.nnz == idx.nnz
+
+
+def test_xla_scoring_exact(corpus_index):
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    nq = 5
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = RNG.choice(V, size=8, replace=False)
+        q[i, terms] = RNG.uniform(0.1, 2.0, size=8)
+
+    want = q @ dense.T  # [nq, N]
+    terms, vals = idx.to_doc_major()
+    t, v = pad_docs(jnp.asarray(terms), jnp.asarray(vals), 64)
+    scores = np.asarray(score_doc_major(t, v, jnp.asarray(q.T), block=64))
+    np.testing.assert_allclose(scores[:dense.shape[0]].T, want, atol=1e-4, rtol=1e-4)
+
+    # top-k agrees with numpy
+    k = 10
+    s_k, rows_k = retrieve_doc_major(t, v, jnp.asarray(q.T), k=k, block=64)
+    for i in range(nq):
+        want_rows = np.argsort(-want[i], kind="stable")[:k]
+        np.testing.assert_allclose(np.sort(np.asarray(s_k)[i]),
+                                   np.sort(want[i][want_rows]), atol=1e-4)
+
+
+def test_sharded_retrieve_matches_single_device(corpus_index):
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    nq, k, block = 4, 7, 8
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = RNG.choice(V, size=6, replace=False)
+        q[i, terms] = RNG.uniform(0.1, 2.0, size=6)
+
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest must provide 8 virtual devices"
+    mesh = jax.sharding.Mesh(np.array(devices), ("data",))
+
+    terms, vals = idx.to_doc_major()
+    n_dev = 8
+    n = terms.shape[0]
+    n_pad = -(-n // (block * n_dev)) * block * n_dev
+    terms = np.pad(terms, ((0, n_pad - n), (0, 0)))
+    vals = np.pad(vals, ((0, n_pad - n), (0, 0)))
+    row_ids = np.arange(n_pad, dtype=np.int32)
+
+    fn = make_sharded_retrieve(mesh, "data", k=k, block=block)
+    scores, rows = fn(jnp.asarray(terms), jnp.asarray(vals),
+                      jnp.asarray(row_ids), jnp.asarray(q.T))
+    want = q @ dense.T
+    for i in range(nq):
+        top = np.sort(want[i])[::-1][:k]
+        np.testing.assert_allclose(np.asarray(scores)[i], top, atol=1e-4)
+        # returned rows score-consistent
+        np.testing.assert_allclose(
+            want[i][np.asarray(rows)[i]], np.asarray(scores)[i], atol=1e-4)
+
+
+def test_cpp_engine_matches_brute_force(corpus_index):
+    pytest.importorskip("ctypes")
+    from scaling_retriever_tpu.index.cpp_engine import CppSparseEngine
+
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    nq, k = 6, 9
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = RNG.choice(V, size=10, replace=False)
+        q[i, terms] = RNG.uniform(0.1, 2.0, size=10)
+
+    eng = CppSparseEngine(idx, n_threads=2)
+    rows, scores = eng.retrieve(q, topk=k, threshold=0.0)
+    want = q @ dense.T
+    for i in range(nq):
+        pos = want[i][want[i] > 0]
+        n_expected = min(k, len(pos))
+        got_rows = rows[i][rows[i] >= 0]
+        assert len(got_rows) == n_expected
+        np.testing.assert_allclose(scores[i][:n_expected],
+                                   np.sort(pos)[::-1][:n_expected], atol=1e-5)
+        np.testing.assert_allclose(want[i][got_rows], scores[i][:n_expected],
+                                   atol=1e-5)
+
+
+def test_merge_indexes_interleaved(tmp_path):
+    """Two shards with interleaved global rows merge into the brute-force
+    whole (reference inverted_index.py:108-170 + indexer.py:259-262)."""
+    n_docs = 40
+    rows, cols, vals, doc_ids = _random_sparse_corpus(n_docs=n_docs, avg_nnz=6)
+    world = 2
+    shard_dirs = []
+    for rank in range(world):
+        sel = (rows % world) == rank  # docs alternate by row parity
+        local = rows[sel] // world
+        g_rows = local * world + rank
+        ids = {int(g): doc_ids[int(g)] for g in np.unique(g_rows)}
+        shard = SparseIndex.from_triples(g_rows, cols[sel], vals[sel], ids, V)
+        d = str(tmp_path / f"index_{rank}")
+        shard.save(d)
+        shard_dirs.append(d)
+
+    merged = merge_indexes(shard_dirs, str(tmp_path / "index"), V)
+    whole = SparseIndex.from_triples(rows, cols, vals, doc_ids, V)
+    np.testing.assert_allclose(_dense_matrix(merged), _dense_matrix(whole), atol=1e-6)
+    assert merged.doc_ids == doc_ids
+
+
+def test_dense_flat_indexer_matches_numpy(tmp_path):
+    n, d, nq, k = 500, 32, 7, 11
+    docs = RNG.normal(size=(n, d)).astype(np.float32)
+    queries = RNG.normal(size=(nq, d)).astype(np.float32)
+    ids = [f"doc{i}" for i in range(n)]
+
+    indexer = DenseFlatIndexer(buffer_size=128, dtype=jnp.float32, chunk=64)
+    indexer.init_index(d)
+    indexer.index_data(list(zip(ids, docs)))
+    assert indexer.ntotal == n
+
+    results = indexer.search_knn(queries, k)
+    want = queries @ docs.T
+    for qi, (db_ids, scores) in enumerate(results):
+        order = np.argsort(-want[qi], kind="stable")[:k]
+        np.testing.assert_allclose(scores, want[qi][order], atol=1e-4)
+        got_rows = [int(x[3:]) for x in db_ids]
+        np.testing.assert_allclose(want[qi][got_rows], scores, atol=1e-4)
+
+    indexer.serialize(str(tmp_path / "di"))
+    fresh = DenseFlatIndexer(dtype=jnp.float32, chunk=64)
+    fresh.deserialize(str(tmp_path / "di"))
+    assert fresh.ntotal == n
+    r2 = fresh.search_knn(queries[:2], 5)
+    for qi, (db_ids, scores) in enumerate(r2):
+        order = np.argsort(-want[qi], kind="stable")[:5]
+        # fp16 storage round-trip tolerance
+        np.testing.assert_allclose(scores, want[qi][order], atol=5e-2)

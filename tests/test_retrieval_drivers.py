@@ -1,0 +1,149 @@
+"""End-to-end indexing + retrieval drivers with a deterministic fake encoder.
+
+Checks that SparseIndexer -> SparseRetrieval (xla/cpp engines, single and
+8-device sharded) and store_embs -> DenseFlatIndexer produce identical
+rankings to numpy brute force, and that the run.json/q_stats.json artifacts
+match the reference layout (indexer.py:530-540).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scaling_retriever_tpu.index.indexer import SparseIndexer, store_embs, obtain_doc_vec_dir_files
+from scaling_retriever_tpu.index.sparse_retrieval import SparseRetrieval
+from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
+
+V = 128
+
+
+class FakeSparseEncoder:
+    """Deterministic bag-of-tokens encoder: rep[t] = count(t) * 0.5."""
+
+    vocab_size = V
+
+    def encode(self, input_ids, attention_mask):
+        ids = np.asarray(input_ids)
+        mask = np.asarray(attention_mask)
+        reps = np.zeros((ids.shape[0], V), np.float32)
+        for b in range(ids.shape[0]):
+            for j in range(ids.shape[1]):
+                if mask[b, j]:
+                    reps[b, ids[b, j] % V] += 0.5
+        return reps
+
+
+class FakeDenseEncoder:
+    hidden_size = 16
+
+    def encode(self, input_ids, attention_mask):
+        ids = np.asarray(input_ids)
+        rng = np.random.default_rng(int(ids.sum()) % 100000)
+        reps = rng.normal(size=(ids.shape[0], 16)).astype(np.float32)
+        return reps / np.linalg.norm(reps, axis=-1, keepdims=True)
+
+
+def _batches(n, bs, seq, prefix, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for start in range(0, n, bs):
+        b = min(bs, n - start)
+        out.append({
+            "input_ids": rng.integers(0, V, (b, seq)),
+            "attention_mask": np.ones((b, seq), np.int32),
+            "ids": [f"{prefix}{start + i}" for i in range(b)],
+        })
+    return out
+
+
+@pytest.fixture(scope="module")
+def sparse_setup(tmp_path_factory):
+    model = FakeSparseEncoder()
+    doc_batches = _batches(100, 16, 12, "d", seed=0)
+    q_batches = _batches(9, 4, 5, "q", seed=1)
+    index_dir = str(tmp_path_factory.mktemp("sparse_index"))
+    out = SparseIndexer(model, index_dir, dim_voc=V).index(doc_batches)
+    # brute-force oracle
+    docs_dense = np.concatenate(
+        [model.encode(b["input_ids"], b["attention_mask"]) for b in doc_batches])
+    q_dense = np.concatenate(
+        [model.encode(b["input_ids"], b["attention_mask"]) for b in q_batches])
+    return model, doc_batches, q_batches, index_dir, out, docs_dense, q_dense
+
+
+def _check_run(run, q_batches, q_dense, docs_dense, k):
+    want = q_dense @ docs_dense.T
+    qids = [i for b in q_batches for i in b["ids"]]
+    for qi, qid in enumerate(qids):
+        got = run[str(qid)]
+        pos = want[qi][want[qi] > 0]
+        assert len(got) == min(k, len(pos))
+        want_top = np.sort(pos)[::-1][:len(got)]
+        np.testing.assert_allclose(np.sort(list(got.values()))[::-1], want_top,
+                                   atol=1e-3, rtol=1e-3)
+        for docid, score in got.items():
+            row = int(docid[1:])
+            np.testing.assert_allclose(want[qi, row], score, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("engine", ["xla", "cpp"])
+def test_sparse_end_to_end(sparse_setup, tmp_path, engine):
+    model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
+    out_dir = str(tmp_path / f"run_{engine}")
+    retriever = SparseRetrieval(model, index_dir, out_dir=out_dir, topk=10,
+                                engine=engine, query_tile=4, block=32,
+                                value_dtype=jnp.float32)
+    run, stats = retriever.retrieve(q_batches)
+    _check_run(run, q_batches, q_dense, docs_dense, k=10)
+    assert os.path.exists(os.path.join(out_dir, "run.json"))
+    with open(os.path.join(out_dir, "q_stats.json")) as f:
+        qs = json.load(f)
+    assert qs["L0_q"] > 0
+
+
+def test_sparse_sharded_end_to_end(sparse_setup, tmp_path):
+    model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    retriever = SparseRetrieval(model, index_dir, out_dir=str(tmp_path / "sh"),
+                                topk=10, engine="xla", query_tile=4, block=8,
+                                mesh=mesh, value_dtype=jnp.float32)
+    run, _ = retriever.retrieve(q_batches)
+    _check_run(run, q_batches, q_dense, docs_dense, k=10)
+
+
+def test_index_stats_artifacts(sparse_setup):
+    _m, _db, _qb, index_dir, out, docs_dense, _qd = sparse_setup
+    with open(os.path.join(index_dir, "index_stats.json")) as f:
+        stats = json.load(f)
+    # average nnz per doc
+    want_l0 = float((docs_dense != 0).sum(-1).mean())
+    assert stats["L0_d"] == pytest.approx(want_l0, rel=0.2)
+    assert os.path.exists(os.path.join(index_dir, "index_dist.json"))
+
+
+def test_store_embs_and_dense_retrieval(tmp_path):
+    model = FakeDenseEncoder()
+    doc_batches = _batches(60, 16, 8, "d", seed=2)
+    out_dir = str(tmp_path / "embs")
+    store_embs(model, doc_batches, local_rank=0, out_dir=out_dir)
+    emb_files, id_files = obtain_doc_vec_dir_files(out_dir)
+    assert emb_files and os.path.exists(os.path.join(out_dir, "plan.json"))
+
+    vectors = np.concatenate([np.load(f) for f in emb_files])
+    ids = np.concatenate([np.load(f, allow_pickle=True) for f in id_files])
+    assert vectors.shape == (60, 16) and len(ids) == 60
+
+    indexer = DenseFlatIndexer(dtype=jnp.float32, chunk=16)
+    indexer.init_index(16)
+    indexer.add_batch(list(ids), vectors)
+    q = np.concatenate([model.encode(b["input_ids"], b["attention_mask"])
+                        for b in _batches(5, 4, 8, "q", seed=3)])
+    results = indexer.search_knn(q, 7)
+    want = q @ vectors.T
+    for qi, (db_ids, scores) in enumerate(results):
+        np.testing.assert_allclose(scores, np.sort(want[qi])[::-1][:7], atol=1e-4)
