@@ -1,0 +1,181 @@
+"""Dense evaluation CLI: write_doc_embeds | retrieval | evaluate_msmarco | evaluate_beir.
+
+Mirrors the reference entry point (reference eval_dense.py:35-251):
+  * ``write_doc_embeds`` — sharded corpus encode → ``embs_{rank}_{chunk}.npy``
+    chunks + plan.json (eval_dense.py:158-189, indexer.py:26-97).
+  * ``retrieval`` — load chunks → exact-IP flat index (TPU matmul replaces
+    faiss, eval_dense.py:108-135) → top-k run.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from scaling_retriever_tpu import constants
+from scaling_retriever_tpu.data.collators import LlamaDenseCollectionCollator
+from scaling_retriever_tpu.data.datasets import (
+    BeirDataset, CollectionDataset, MSMARCOQueryDataset, WikiQueryDataset,
+)
+from scaling_retriever_tpu.data.io import load_beir_dataset
+from scaling_retriever_tpu.data.loader import DataLoader
+from scaling_retriever_tpu.evaluation.metrics import evaluate_beir, load_and_evaluate
+from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
+from scaling_retriever_tpu.index.indexer import obtain_doc_vec_dir_files, store_embs
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_name_or_path", default=None)
+    p.add_argument("--corpus_path", default="")
+    p.add_argument("--doc_embed_dir", default=None)
+    p.add_argument("--index_dir", default=None)
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--query_path", default=None)
+    p.add_argument("--data_source", default=None)
+    p.add_argument("--lora_name_or_path", default=None)
+    p.add_argument("--is_beir", action="store_true")
+    p.add_argument("--beir_dataset", default=None)
+    p.add_argument("--beir_dataset_dir", default=None)
+    p.add_argument("--eval_batch_size", type=int, default=128)
+    p.add_argument("--doc_max_length", type=int, default=192)
+    p.add_argument("--query_max_length", type=int, default=64)
+    p.add_argument("--top_k", type=int, default=1000)
+    p.add_argument("--task_name", required=True,
+                   choices=["write_doc_embeds", "retrieval", "evaluate_msmarco",
+                            "evaluate_beir"])
+    p.add_argument("--eval_qrel_path", default="")
+    p.add_argument("--eval_run_path", default="")
+    p.add_argument("--eval_metric", default="")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world_size", type=int, default=1)
+    return p
+
+
+def _load_model(args):
+    from scaling_retriever_tpu.models.encoder import LlamaBiDense, Qwen2BiDense
+
+    model_dir = args.model_name_or_path
+    model_type = "llama"
+    cfg_path = os.path.join(model_dir, "config.json") if os.path.isdir(model_dir) else None
+    if cfg_path and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            model_type = json.load(f).get("model_type", "llama")
+    cls = Qwen2BiDense if model_type == "qwen2" else LlamaBiDense
+    if os.path.isdir(model_dir) and os.path.exists(
+            os.path.join(model_dir, "adapter_config.json")):
+        return cls.load_from_lora(model_dir)
+    if args.lora_name_or_path:
+        return cls.load(model_dir, lora_name_or_path=args.lora_name_or_path)
+    return cls.load(model_dir)
+
+
+def _tokenizer(args):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(args.model_name_or_path)
+
+
+def _beir_path(args) -> str:
+    path = os.path.join(args.beir_dataset_dir, args.beir_dataset)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"BEIR dataset not found: {path}")
+    return path
+
+
+def write_doc_embeds(args) -> None:
+    tokenizer = _tokenizer(args)
+    if args.is_beir and args.beir_dataset:
+        corpus, _, _ = load_beir_dataset(_beir_path(args))
+        d_collection = BeirDataset(corpus, information_type="document")
+    else:
+        source = args.data_source or constants.guess_data_source(args.corpus_path)
+        d_collection = CollectionDataset(args.corpus_path, data_source=source)
+    model = _load_model(args)
+    collator = LlamaDenseCollectionCollator(tokenizer, args.doc_max_length)
+    loader = DataLoader(d_collection, args.eval_batch_size, collator,
+                        rank=args.rank, world_size=args.world_size)
+    store_embs(model, loader, local_rank=args.rank, out_dir=args.doc_embed_dir,
+               world_size=args.world_size)
+
+
+class LocalDenseRetriever:
+    """Load npy chunks into the flat index and rank queries
+    (reference eval_dense.py:108-135)."""
+
+    def __init__(self, hidden_dim: int):
+        self.indexer = DenseFlatIndexer()
+        self.indexer.init_index(hidden_dim)
+
+    def index_encoded_data(self, doc_embed_dir: str) -> None:
+        emb_files, id_files = obtain_doc_vec_dir_files(doc_embed_dir)
+        for emb_f, id_f in zip(emb_files, id_files):
+            vectors = np.load(emb_f).astype(np.float32)
+            ids = np.load(id_f, allow_pickle=True).tolist()
+            self.indexer.add_batch(ids, vectors)
+
+    def get_top_docs(self, query_vectors: np.ndarray, top_docs: int):
+        return self.indexer.search_knn(query_vectors, top_docs)
+
+
+def dense_retrieval(args) -> None:
+    tokenizer = _tokenizer(args)
+    if args.is_beir and args.beir_dataset:
+        _, queries, _ = load_beir_dataset(_beir_path(args))
+        q_collection = BeirDataset(queries, information_type="query")
+    else:
+        source = args.data_source or constants.guess_data_source(args.query_path)
+        q_collection = (WikiQueryDataset(args.query_path) if source == "wiki"
+                        else MSMARCOQueryDataset(args.query_path))
+    model = _load_model(args)
+    collator = LlamaDenseCollectionCollator(tokenizer, args.query_max_length)
+    loader = DataLoader(q_collection, args.eval_batch_size, collator)
+
+    retriever = LocalDenseRetriever(model.hidden_size)
+    retriever.index_encoded_data(args.doc_embed_dir)
+
+    run: dict = {}
+    qids, reps = [], []
+    for batch in loader:
+        reps.append(np.asarray(model.encode(batch["input_ids"],
+                                            batch["attention_mask"]), np.float32))
+        qids.extend(batch["ids"])
+    q_vecs = np.concatenate(reps) if reps else np.zeros((0, model.hidden_size))
+    results = retriever.get_top_docs(q_vecs, args.top_k)
+    for qid, (db_ids, scores) in zip(qids, results):
+        run[str(qid)] = {str(d): float(s) for d, s in zip(db_ids, scores)}
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "run.json"), "w") as f:
+        json.dump(run, f)
+
+
+def evaluate_msmarco(args) -> None:
+    metrics_list = eval(args.eval_metric) if args.eval_metric else ["mrr_10"]
+    res = {}
+    for metric in metrics_list:
+        res[metric] = load_and_evaluate(args.eval_qrel_path, args.eval_run_path,
+                                        metric)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "perf.json"), "w") as f:
+        json.dump(res, f, indent=4)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.task_name == "write_doc_embeds":
+        write_doc_embeds(args)
+    elif args.task_name == "retrieval":
+        dense_retrieval(args)
+    elif args.task_name == "evaluate_msmarco":
+        evaluate_msmarco(args)
+    elif args.task_name == "evaluate_beir":
+        _, _, qrels = load_beir_dataset(_beir_path(args))
+        evaluate_beir(args.out_dir, qrels)
+
+
+if __name__ == "__main__":
+    main()

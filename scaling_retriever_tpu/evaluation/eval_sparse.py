@@ -1,0 +1,173 @@
+"""Sparse evaluation CLI: indexing | retrieval | evaluate_msmarco | evaluate_beir.
+
+Mirrors the reference entry point (reference eval_sparse.py:34-195) with
+TPU-native execution:
+  * ``indexing`` — one process drives all local chips; ``--world_size/--rank``
+    reproduce the reference's per-rank ``index_{rank}`` sharded-build layout
+    (eval_sparse.py:98-102) when an external launcher shards the corpus.
+  * ``retrieval`` — no single-rank restriction (reference eval_sparse.py:114):
+    the index shards across the device mesh and the top-k merge is on-chip.
+  * BEIR datasets load from a local directory (zero-egress environment); the
+    reference downloads from the BEIR mirror (eval_sparse.py:79-80).
+
+Run: ``python -m scaling_retriever_tpu.evaluation.eval_sparse --task_name ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from scaling_retriever_tpu import constants
+from scaling_retriever_tpu.data.collators import LlamaSparseCollectionCollator
+from scaling_retriever_tpu.data.datasets import (
+    BeirDataset, CollectionDataset, MSMARCOQueryDataset, WikiQueryDataset,
+)
+from scaling_retriever_tpu.data.io import load_beir_dataset
+from scaling_retriever_tpu.data.loader import DataLoader
+from scaling_retriever_tpu.evaluation.metrics import evaluate_beir, load_and_evaluate
+from scaling_retriever_tpu.index.indexer import SparseIndexer
+from scaling_retriever_tpu.index.sparse_retrieval import SparseRetrieval
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_name_or_path", default=None)
+    p.add_argument("--corpus_path", default="")
+    p.add_argument("--index_dir", default=None)
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--query_path", default=None)
+    p.add_argument("--data_source", default=None)
+    p.add_argument("--lora_name_or_path", default=None)
+    p.add_argument("--is_beir", action="store_true")
+    p.add_argument("--beir_dataset", default=None)
+    p.add_argument("--beir_dataset_dir", default=None)
+    p.add_argument("--eval_batch_size", type=int, default=128)
+    p.add_argument("--doc_max_length", type=int, default=192)
+    p.add_argument("--query_max_length", type=int, default=64)
+    p.add_argument("--top_k", type=int, default=1000)
+    p.add_argument("--task_name", required=True,
+                   choices=["indexing", "retrieval", "evaluate_msmarco",
+                            "evaluate_beir"])
+    p.add_argument("--eval_qrel_path", default="")
+    p.add_argument("--eval_run_path", default="")
+    p.add_argument("--eval_metric", default="",
+                   help="python-list literal, e.g. \"['mrr_10','recall']\" "
+                        "(reference eval_sparse.py:68 uses eval())")
+    p.add_argument("--engine", default="xla", choices=["xla", "cpp", "pallas"])
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world_size", type=int, default=1)
+    p.add_argument("--use_mesh", action="store_true",
+                   help="shard index over all local devices")
+    return p
+
+
+def _load_model(args):
+    from scaling_retriever_tpu.models.encoder import LlamaBiSparse, Qwen2BiSparse
+
+    model_dir = args.model_name_or_path
+    cfg_path = os.path.join(model_dir, "config.json") if os.path.isdir(model_dir) else None
+    model_type = "llama"
+    if cfg_path and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        model_type = cfg.get("model_type", "llama")
+        if "peft_type" in cfg:
+            model_type = "llama"
+    cls = Qwen2BiSparse if model_type == "qwen2" else LlamaBiSparse
+    if os.path.isdir(model_dir) and os.path.exists(
+            os.path.join(model_dir, "adapter_config.json")):
+        return cls.load_from_lora(model_dir)
+    if args.lora_name_or_path:
+        return cls.load(model_dir, lora_name_or_path=args.lora_name_or_path)
+    return cls.load(model_dir)
+
+
+def _tokenizer(args):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(args.model_name_or_path)
+
+
+def _beir_path(args) -> str:
+    path = os.path.join(args.beir_dataset_dir, args.beir_dataset)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"BEIR dataset {args.beir_dataset!r} not found under "
+            f"{args.beir_dataset_dir!r}; download it on a connected machine "
+            f"(reference eval_sparse.py:79-80 fetches the UKP zip)")
+    return path
+
+
+def sparse_index(args) -> None:
+    tokenizer = _tokenizer(args)
+    if args.is_beir and args.beir_dataset:
+        corpus, _, _ = load_beir_dataset(_beir_path(args))
+        d_collection = BeirDataset(corpus, information_type="document")
+    else:
+        source = args.data_source or constants.guess_data_source(args.corpus_path)
+        d_collection = CollectionDataset(args.corpus_path, data_source=source)
+    model = _load_model(args)
+    collator = LlamaSparseCollectionCollator(tokenizer, args.doc_max_length)
+    index_dir = args.index_dir
+    if args.world_size > 1:
+        index_dir = index_dir.rstrip("/") + f"_{args.rank}"
+    loader = DataLoader(d_collection, args.eval_batch_size, collator,
+                        rank=args.rank, world_size=args.world_size)
+    SparseIndexer(model, index_dir, dim_voc=model.vocab_size,
+                  rank=args.rank, world_size=args.world_size).index(loader)
+
+
+def sparse_retrieval(args) -> None:
+    tokenizer = _tokenizer(args)
+    if args.is_beir and args.beir_dataset:
+        _, queries, _ = load_beir_dataset(_beir_path(args))
+        q_collection = BeirDataset(queries, information_type="query")
+    else:
+        source = args.data_source or constants.guess_data_source(args.query_path)
+        q_collection = (WikiQueryDataset(args.query_path) if source == "wiki"
+                        else MSMARCOQueryDataset(args.query_path))
+    model = _load_model(args)
+    collator = LlamaSparseCollectionCollator(tokenizer, args.query_max_length)
+    loader = DataLoader(q_collection, args.eval_batch_size, collator)
+    mesh = None
+    if args.use_mesh:
+        import jax
+        import numpy as np
+
+        devices = jax.devices()
+        if len(devices) > 1:
+            mesh = jax.sharding.Mesh(np.array(devices), ("data",))
+    os.makedirs(args.out_dir, exist_ok=True)
+    retriever = SparseRetrieval(model, args.index_dir, out_dir=args.out_dir,
+                                topk=args.top_k, engine=args.engine, mesh=mesh)
+    retriever.retrieve(loader, topk=args.top_k, threshold=0.0)
+
+
+def evaluate_msmarco(args) -> None:
+    metrics_list = eval(args.eval_metric) if args.eval_metric else ["mrr_10"]
+    res = {}
+    for metric in metrics_list:
+        res[metric] = load_and_evaluate(args.eval_qrel_path, args.eval_run_path,
+                                        metric)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "perf.json"), "w") as f:
+        json.dump(res, f, indent=4)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.task_name == "indexing":
+        sparse_index(args)
+    elif args.task_name == "retrieval":
+        sparse_retrieval(args)
+    elif args.task_name == "evaluate_msmarco":
+        evaluate_msmarco(args)
+    elif args.task_name == "evaluate_beir":
+        _, _, qrels = load_beir_dataset(_beir_path(args))
+        evaluate_beir(args.out_dir, qrels)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""End-to-end eval CLI pipelines on a tiny local checkpoint + corpus.
+
+Drives the same flows as the reference's scripts/eval_sparse.sh /
+eval_dense.sh: index/encode -> retrieve -> evaluate_msmarco, plus the sharded
+two-rank index build + merge (reference eval_sparse.sh:14-22).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from helpers import make_msmarco_style_data, make_tiny_llama_dir  # noqa: E402
+
+from scaling_retriever_tpu.evaluation import eval_dense, eval_sparse  # noqa: E402
+from scaling_retriever_tpu.index.inverted_index import SparseIndex, merge_indexes  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    model_dir = make_tiny_llama_dir(str(root / "model"))
+    corpus, queries, qrel = make_msmarco_style_data(str(root / "data"))
+    return str(root), model_dir, corpus, queries, qrel
+
+
+def test_sparse_cli_pipeline(setup):
+    root, model_dir, corpus, queries, qrel = setup
+    index_dir = os.path.join(root, "sparse_index")
+    out_dir = os.path.join(root, "sparse_out")
+
+    eval_sparse.main([
+        "--task_name", "indexing", "--model_name_or_path", model_dir,
+        "--corpus_path", corpus, "--index_dir", index_dir,
+        "--eval_batch_size", "16", "--doc_max_length", "24",
+        "--data_source", "msmarco",
+    ])
+    assert os.path.exists(os.path.join(index_dir, "csr_index.npz"))
+    assert os.path.exists(os.path.join(index_dir, "index_stats.json"))
+
+    eval_sparse.main([
+        "--task_name", "retrieval", "--model_name_or_path", model_dir,
+        "--query_path", queries, "--index_dir", index_dir,
+        "--out_dir", out_dir, "--eval_batch_size", "8",
+        "--query_max_length", "16", "--top_k", "10",
+        "--data_source", "msmarco",
+    ])
+    with open(os.path.join(out_dir, "run.json")) as f:
+        run = json.load(f)
+    assert len(run) == 8 and all(len(v) <= 10 for v in run.values())
+
+    eval_sparse.main([
+        "--task_name", "evaluate_msmarco",
+        "--eval_qrel_path", qrel,
+        "--eval_run_path", os.path.join(out_dir, "run.json"),
+        "--eval_metric", "['mrr_10','recall']",
+        "--out_dir", out_dir,
+    ])
+    with open(os.path.join(out_dir, "perf.json")) as f:
+        perf = json.load(f)
+    assert "mrr_10" in perf and "recall" in perf
+
+
+def test_sparse_sharded_build_and_merge(setup):
+    root, model_dir, corpus, queries, qrel = setup
+    base = os.path.join(root, "shard_index")
+    for rank in range(2):
+        eval_sparse.main([
+            "--task_name", "indexing", "--model_name_or_path", model_dir,
+            "--corpus_path", corpus, "--index_dir", base,
+            "--eval_batch_size", "16", "--doc_max_length", "24",
+            "--data_source", "msmarco",
+            "--rank", str(rank), "--world_size", "2",
+        ])
+    with open(os.path.join(model_dir, "config.json")) as f:
+        dim_voc = json.load(f)["vocab_size"]
+    shard0 = SparseIndex.load(f"{base}_0")
+    shard1 = SparseIndex.load(f"{base}_1")
+    merged = merge_indexes([f"{base}_0", f"{base}_1"],
+                           os.path.join(root, "shard_index_merged"), dim_voc)
+    whole = SparseIndex.load(os.path.join(root, "sparse_index"))
+    assert merged.nnz == shard0.nnz + shard1.nnz
+    assert merged.nb_docs() == whole.nb_docs() == 50
+    assert sorted(d for d in merged.doc_ids) == sorted(whole.doc_ids)
+    # note: exact posting values differ slightly from the unsharded build
+    # because per-batch "longest" padding shifts absolute RoPE positions —
+    # a property shared with the reference (no position_ids are passed).
+    assert np.allclose(np.sort(merged.values),
+                       np.sort(np.concatenate([shard0.values, shard1.values])))
+
+
+def test_dense_cli_pipeline(setup):
+    root, model_dir, corpus, queries, qrel = setup
+    embed_dir = os.path.join(root, "dense_embeds")
+    out_dir = os.path.join(root, "dense_out")
+
+    eval_dense.main([
+        "--task_name", "write_doc_embeds", "--model_name_or_path", model_dir,
+        "--corpus_path", corpus, "--doc_embed_dir", embed_dir,
+        "--eval_batch_size", "16", "--doc_max_length", "24",
+        "--data_source", "msmarco",
+    ])
+    assert os.path.exists(os.path.join(embed_dir, "plan.json"))
+
+    eval_dense.main([
+        "--task_name", "retrieval", "--model_name_or_path", model_dir,
+        "--query_path", queries, "--doc_embed_dir", embed_dir,
+        "--out_dir", out_dir, "--eval_batch_size", "8",
+        "--query_max_length", "16", "--top_k", "10",
+        "--data_source", "msmarco",
+    ])
+    with open(os.path.join(out_dir, "run.json")) as f:
+        run = json.load(f)
+    assert len(run) == 8
+    # dense scores are bounded by 1 (unit-normalized mean of unit vectors)
+    assert all(abs(s) <= 1.01 for docs in run.values() for s in docs.values())
+
+    eval_dense.main([
+        "--task_name", "evaluate_msmarco",
+        "--eval_qrel_path", qrel,
+        "--eval_run_path", os.path.join(out_dir, "run.json"),
+        "--eval_metric", "['mrr_10']",
+        "--out_dir", out_dir,
+    ])
+    assert os.path.exists(os.path.join(out_dir, "perf.json"))
+
+
+def test_beir_pipeline(setup, tmp_path):
+    root, model_dir, *_ = setup
+    # build a tiny local BEIR-format dataset
+    ds_dir = tmp_path / "beir" / "toy"
+    (ds_dir / "qrels").mkdir(parents=True)
+    with open(ds_dir / "corpus.jsonl", "w") as f:
+        for d in range(20):
+            f.write(json.dumps({"_id": f"d{d}", "title": f"w{150 + d % 5}",
+                                "text": f"w{10 + d} w{20 + d}"}) + "\n")
+    with open(ds_dir / "queries.jsonl", "w") as f:
+        for q in range(4):
+            f.write(json.dumps({"_id": f"q{q}", "text": f"w{150 + q}"}) + "\n")
+    with open(ds_dir / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        for q in range(4):
+            f.write(f"q{q}\td{q}\t1\n")
+
+    index_dir = str(tmp_path / "beir_index")
+    out_dir = str(tmp_path / "beir_out")
+    common = ["--model_name_or_path", model_dir, "--is_beir",
+              "--beir_dataset", "toy", "--beir_dataset_dir", str(tmp_path / "beir")]
+    eval_sparse.main(["--task_name", "indexing", "--index_dir", index_dir,
+                      "--eval_batch_size", "8", "--doc_max_length", "16"] + common)
+    eval_sparse.main(["--task_name", "retrieval", "--index_dir", index_dir,
+                      "--out_dir", out_dir, "--eval_batch_size", "4",
+                      "--query_max_length", "16", "--top_k", "5"] + common)
+    eval_sparse.main(["--task_name", "evaluate_beir", "--out_dir", out_dir] + common)
+    with open(os.path.join(out_dir, "perf.json")) as f:
+        perf = json.load(f)
+    assert set(perf) == {"NDCG@10", "Recall@100", "R_cap@100"}
