@@ -1,0 +1,302 @@
+"""pjit training loop for retriever encoders.
+
+Replaces the reference's ~1000-line forked HF Trainer
+(reference scaling_retriever/tasks/sparse_trainer.py:338-1025,
+dense_trainer.py:324-1002 — forked solely to thread per-task losses through
+logging and to save LoRA under FSDP) with a compact explicit loop:
+
+  * one jitted train step over a (data, model) mesh; DP + FSDP are partition
+    specs (parallel/partitioning.py), not wrapper classes;
+  * loss combination per reference training_step (sparse_trainer.py:380-390):
+    ``total = Σ_nonreg w_k·loss_k + Σ_reg λ_t·loss_k`` with the quadratic
+    λ ramp evaluated inside the step (losses.reg_weight_at_step) —
+    λ advances once per micro step, matching the reference's per-call
+    ``scheduler.step()``;
+  * gradient accumulation via optax.MultiSteps; global-norm clipping and
+    AdamW with HF-default linear warmup+decay;
+  * per-task loss metrics returned from the step and logged host-side
+    (the whole reason the reference forked the Trainer);
+  * checkpoints: peft-compatible LoRA adapter (models/lora.save_adapter) or
+    full HF checkpoint + orbax state for resume (reference
+    sparse_trainer.py:984-1025, :582-591).
+
+``loss_scale`` reproduces the reference's DDP gradient scale: its detached
+all_gather + local-grad trick makes the DDP-averaged gradient equal
+1/world_size of the global-batch-loss gradient (SURVEY.md §2.2); set
+``loss_scale = 1/n_data_shards`` for strict hyperparameter parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scaling_retriever_tpu.models import losses as losses_lib
+from scaling_retriever_tpu.parallel.mesh import make_mesh, shard_batch
+from scaling_retriever_tpu.parallel.partitioning import (
+    apply_shardings, fsdp_shardings, replicated_shardings,
+)
+
+
+@dataclasses.dataclass
+class LLM2RetrieverTrainingArgs:
+    """Mirror of the reference args surface (sparse_trainer.py:270-335 +
+    the HF TrainingArguments fields actually used by the scripts)."""
+
+    model_name_or_path: str = ""
+    output_dir: str = "out"
+    model_type: str = "llama"
+    loss_type: str = "nce"           # nce | margin_mse | kldiv | nce_kldiv
+    # tasks: non-"reg" names are weighted directly; "*_reg" names get the
+    # quadratic ramp with lambda = task weight (train_sparse.py:168-174)
+    task_names: Sequence[str] = ("rank", "query_reg", "doc_reg")
+    task_weights: Sequence[float] = (1.0, 0.01, 0.008)
+    reg_T: Optional[int] = None      # ramp horizon; default max_steps // 3
+    # lora
+    lora: bool = True
+    lora_r: int = 16
+    lora_alpha: int = 32
+    lora_dropout: float = 0.0
+    lora_modules_to_save: Optional[Sequence[str]] = None
+    # optimization
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    warmup_ratio: float = 0.0
+    warmup_steps: int = 0
+    max_steps: int = 1000
+    per_device_train_batch_size: int = 8
+    gradient_accumulation_steps: int = 1
+    # data
+    n_negs: int = 1
+    query_max_length: int = 64
+    doc_max_length: int = 128
+    T: float = 0.01                   # dense temperature
+    # runtime
+    bf16: bool = False
+    fsdp: bool = False
+    n_data_shards: Optional[int] = None
+    loss_scale: float = 1.0
+    logging_steps: int = 50
+    save_steps: Optional[int] = None
+    save_total_limit: int = 1
+    seed: int = 42
+    resume_from_checkpoint: Optional[str] = None
+
+    @property
+    def ln_to_weight(self) -> dict:
+        return dict(zip(self.task_names, self.task_weights))
+
+    @property
+    def reg_horizon(self) -> int:
+        return self.reg_T if self.reg_T else max(1, self.max_steps // 3)
+
+
+def linear_warmup_decay(lr: float, warmup: int, total: int):
+    """HF 'linear' scheduler: 0→lr over warmup, lr→0 over the rest."""
+    warmup = max(warmup, 0)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, max(warmup, 1)),
+         optax.linear_schedule(lr, 0.0, max(total - warmup, 1))],
+        boundaries=[warmup])
+
+
+class Trainer:
+    """Explicit training loop; ``encoder`` is any LLM2Retriever instance."""
+
+    def __init__(self, encoder, args: LLM2RetrieverTrainingArgs,
+                 train_loader, mesh=None):
+        self.encoder = encoder
+        self.args = args
+        self.train_loader = train_loader
+        self.mesh = mesh if mesh is not None else make_mesh(model=1)
+        self.step = 0
+        self._log_path = os.path.join(args.output_dir, "trainer_log.jsonl")
+
+        warmup = args.warmup_steps or int(args.warmup_ratio * args.max_steps)
+        schedule = linear_warmup_decay(args.learning_rate, warmup, args.max_steps)
+        tx = optax.chain(
+            optax.clip_by_global_norm(args.max_grad_norm),
+            optax.adamw(schedule, b1=args.adam_beta1, b2=args.adam_beta2,
+                        eps=args.adam_epsilon, weight_decay=args.weight_decay),
+        )
+        if args.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
+        self.tx = tx
+
+        # placement: base params replicated or FSDP-sharded; trainable params
+        # (LoRA factors, or the full tree when lora=False) follow the same rule
+        self.use_lora = encoder.lora is not None
+        if args.fsdp and self.mesh.shape["data"] > 1:
+            self.param_shardings = fsdp_shardings(encoder.params, self.mesh)
+        else:
+            self.param_shardings = replicated_shardings(encoder.params, self.mesh)
+        self.params = apply_shardings(encoder.params, self.param_shardings)
+        trainable = encoder.lora if self.use_lora else self.params
+        self.trainable_shardings = (replicated_shardings(trainable, self.mesh)
+                                    if self.use_lora else self.param_shardings)
+        self.trainable = apply_shardings(trainable, self.trainable_shardings)
+        self.opt_state = self.tx.init(self.trainable)
+
+        self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+
+    def _combined_loss(self, trainable, batch, step):
+        if self.use_lora:
+            task_losses = self.encoder.loss_forward(self.params, trainable, batch)
+        else:
+            task_losses = self.encoder.loss_forward(trainable, None, batch)
+        args = self.args
+        total = 0.0
+        weighted = {}
+        for name, value in task_losses.items():
+            if "reg" in name:
+                lam = losses_lib.reg_weight_at_step(
+                    args.ln_to_weight.get(name, 0.0), args.reg_horizon, step)
+                total = total + value * lam
+                weighted[name] = value * lam
+            elif name in args.ln_to_weight:
+                w = args.ln_to_weight[name]
+                total = total + value * w
+                weighted[name] = value * w
+            else:
+                weighted[name] = value  # metric-only (e.g. nce/kldiv splits)
+        return total * args.loss_scale, weighted
+
+    def _train_step(self, trainable, opt_state, batch, step):
+        (loss, weighted), grads = jax.value_and_grad(
+            self._combined_loss, has_aux=True)(trainable, batch, step)
+        updates, opt_state = self.tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm, **weighted}
+        return trainable, opt_state, metrics
+
+    # ------------------------------------------------------------------
+
+    def train(self) -> dict:
+        args = self.args
+        os.makedirs(args.output_dir, exist_ok=True)
+        if args.resume_from_checkpoint:
+            self.load_state(args.resume_from_checkpoint)
+
+        accum: dict[str, float] = {}
+        n_acc = 0
+        t0 = time.time()
+        done = False
+        epoch = 0
+        while not done:
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            for batch in self.train_loader:
+                batch = shard_batch(batch, self.mesh)
+                # λ ramp advances per micro step, like the reference scheduler
+                micro_step = self.step * args.gradient_accumulation_steps + 1
+                self.trainable, self.opt_state, metrics = self._jit_step(
+                    self.trainable, self.opt_state, batch,
+                    jnp.asarray(micro_step, jnp.int32))
+                self.step += 1
+                for k, v in metrics.items():
+                    accum[k] = accum.get(k, 0.0) + float(v)
+                n_acc += 1
+                if self.step % args.logging_steps == 0:
+                    self._log({k: v / n_acc for k, v in accum.items()},
+                              time.time() - t0)
+                    accum, n_acc = {}, 0
+                if args.save_steps and self.step % args.save_steps == 0:
+                    self.save_checkpoint()
+                if self.step >= args.max_steps:
+                    done = True
+                    break
+            epoch += 1
+            if epoch > 10000:
+                break
+        if n_acc:
+            self._log({k: v / n_acc for k, v in accum.items()}, time.time() - t0)
+        return {"train_steps": self.step}
+
+    def _log(self, metrics: dict, elapsed: float) -> None:
+        entry = {"step": self.step, "elapsed_sec": round(elapsed, 2), **metrics}
+        print(json.dumps(entry), flush=True)
+        with open(self._log_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save_model(self, out_dir: Optional[str] = None) -> None:
+        """Final artifact: peft-compatible adapter, or full HF checkpoint
+        (reference sparse_trainer.py:984-1025)."""
+        out_dir = out_dir or self.args.output_dir
+        if self.use_lora:
+            from scaling_retriever_tpu.models.lora import save_adapter
+
+            save_adapter(jax.device_get(self.trainable),
+                         self.encoder.lora_config, out_dir)
+        else:
+            from scaling_retriever_tpu.models.hf_loader import save_pretrained
+
+            save_pretrained(jax.device_get(self.trainable),
+                            self.encoder.config, out_dir)
+
+    def save_checkpoint(self) -> str:
+        """Resumable state: step + trainable + optimizer (orbax)."""
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.join(os.path.abspath(self.args.output_dir),
+                                f"checkpoint-{self.step}")
+        # optimizer state is stored as flat leaves; the (NamedTuple-heavy)
+        # structure is rebuilt from a fresh tx.init at restore time
+        opt_leaves = [jax.device_get(x)
+                      for x in jax.tree_util.tree_leaves(self.opt_state)]
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(ckpt_dir, {
+                "step": self.step,
+                "trainable": jax.device_get(self.trainable),
+                "opt_leaves": opt_leaves,
+            })
+        self._prune_checkpoints()
+        return ckpt_dir
+
+    def _prune_checkpoints(self) -> None:
+        """save_total_limit pruning (reference sparse_trainer.py:917-921)."""
+        limit = self.args.save_total_limit
+        if not limit:
+            return
+        root = self.args.output_dir
+        ckpts = sorted(
+            (d for d in os.listdir(root) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]))
+        for d in ckpts[:-limit]:
+            import shutil
+
+            shutil.rmtree(os.path.join(root, d))
+
+    def load_state(self, ckpt_dir: str) -> None:
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(ckpt_dir))
+        self.step = int(restored["step"])
+        self.trainable = jax.tree_util.tree_map(
+            jnp.asarray, restored["trainable"])
+        treedef = jax.tree_util.tree_structure(self.tx.init(self.trainable))
+        leaves = [jnp.asarray(restored["opt_leaves"][i])
+                  for i in range(len(restored["opt_leaves"]))]
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+SparseTrainer = Trainer
+DenseTrainer = Trainer
+DenseTrainerForNCE_KLdiv = Trainer

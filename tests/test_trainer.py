@@ -1,0 +1,180 @@
+"""Training loop: learnability, reg ramp, FSDP parity, checkpoint/resume,
+adapter artifact, CLI entry point."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+from helpers import make_msmarco_style_data, make_tiny_llama_dir  # noqa: E402
+
+from scaling_retriever_tpu.models.encoder import LlamaBiSparse, LlamaBiDense  # noqa: E402
+from scaling_retriever_tpu.models.lora import load_adapter  # noqa: E402
+from scaling_retriever_tpu.parallel.mesh import make_mesh  # noqa: E402
+from scaling_retriever_tpu.training.trainer import (  # noqa: E402
+    LLM2RetrieverTrainingArgs, Trainer,
+)
+from scaling_retriever_tpu.training import train_sparse  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    return make_tiny_llama_dir(str(tmp_path_factory.mktemp("m")))
+
+
+@pytest.fixture(scope="module")
+def train_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traindata")
+    corpus, queries, qrel = make_msmarco_style_data(str(root), n_docs=30, n_queries=8)
+    train_path = os.path.join(str(root), "train.jsonl")
+    import json as _json
+    with open(os.path.join(str(root), "corpus.tsv")) as f:
+        pids = [line.split("\t")[0] for line in f]
+    with open(queries) as f:
+        qs = [line.strip().split("\t") for line in f]
+    with open(train_path, "w") as f:
+        for i, (qid, qtext) in enumerate(qs):
+            f.write(_json.dumps({
+                "question": qtext, "pos_pid": f"doc{i}",
+                "neg_pids": [p for p in pids[8:16]],
+            }) + "\n")
+    return os.path.join(str(root), "corpus.tsv"), train_path
+
+
+def _fake_batches(n_batches, bz, n_ctx_per_q, seq, vocab=250, seed=0):
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_batches):
+        batches.append({
+            "tokenized_queries": {
+                "input_ids": rng.integers(4, vocab, (bz, seq)).astype(np.int32),
+                "attention_mask": np.ones((bz, seq), np.int32)},
+            "tokenized_contexts": {
+                "input_ids": rng.integers(4, vocab, (bz * n_ctx_per_q, seq)).astype(np.int32),
+                "attention_mask": np.ones((bz * n_ctx_per_q, seq), np.int32)},
+            "target_labels": np.arange(bz, dtype=np.int32),
+        })
+    return batches
+
+
+class ListLoader(list):
+    def set_epoch(self, e):
+        pass
+
+
+def _args(tmp_path, **kw):
+    base = dict(output_dir=str(tmp_path), max_steps=8, logging_steps=4,
+                learning_rate=5e-3, lora=True, lora_r=4, lora_alpha=8,
+                task_names=("rank", "query_reg", "doc_reg"),
+                task_weights=(1.0, 0.01, 0.008))
+    base.update(kw)
+    return LLM2RetrieverTrainingArgs(**base)
+
+
+def test_nce_loss_decreases(model_dir, tmp_path):
+    args = _args(tmp_path, max_steps=25, logging_steps=5)
+    enc = LlamaBiSparse.build(model_dir, args)
+    batches = ListLoader(_fake_batches(1, 4, 2, 8) * 30)  # repeat one batch
+    tr = Trainer(enc, args, batches)
+    tr.train()
+    with open(os.path.join(str(tmp_path), "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert logs[-1]["rank"] < logs[0]["rank"] * 0.9
+    assert logs[-1]["step"] == 25
+
+
+def test_reg_ramp_quadratic(model_dir, tmp_path):
+    args = _args(tmp_path, max_steps=6, logging_steps=1, reg_T=100)
+    enc = LlamaBiSparse.build(model_dir, args)
+    tr = Trainer(enc, args, ListLoader(_fake_batches(1, 2, 2, 8) * 10))
+    tr.train()
+    with open(os.path.join(str(tmp_path), "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    # weighted reg at step t ~ lambda * (t/100)^2 * raw -> ratio of step 4 to
+    # step 2 should be ~4x (raw reg changes slowly)
+    r = logs[3]["query_reg"] / max(logs[1]["query_reg"], 1e-12)
+    assert 2.5 < r < 6.5, r
+
+
+def test_fsdp_matches_replicated(model_dir, tmp_path):
+    batches = _fake_batches(8, 8, 2, 8)
+    results = {}
+    for fsdp in (False, True):
+        args = _args(tmp_path / f"fsdp_{fsdp}", max_steps=5, logging_steps=1,
+                     fsdp=fsdp, learning_rate=1e-3)
+        enc = LlamaBiSparse.build(model_dir, args)
+        mesh = make_mesh(model=1)
+        tr = Trainer(enc, args, ListLoader(batches), mesh=mesh)
+        tr.train()
+        with open(os.path.join(str(tmp_path / f"fsdp_{fsdp}"),
+                               "trainer_log.jsonl")) as f:
+            results[fsdp] = [json.loads(l)["loss"] for l in f]
+    np.testing.assert_allclose(results[False], results[True], rtol=2e-3, atol=2e-5)
+
+
+def test_checkpoint_resume(model_dir, tmp_path):
+    args = _args(tmp_path, max_steps=4, save_steps=4, logging_steps=2)
+    enc = LlamaBiSparse.build(model_dir, args)
+    batches = ListLoader(_fake_batches(1, 2, 2, 8) * 10)
+    tr = Trainer(enc, args, batches)
+    tr.train()
+    ckpt = os.path.join(str(tmp_path), "checkpoint-4")
+    assert os.path.isdir(ckpt)
+
+    args2 = _args(tmp_path, max_steps=8, resume_from_checkpoint=ckpt)
+    enc2 = LlamaBiSparse.build(model_dir, args2)
+    tr2 = Trainer(enc2, args2, batches)
+    tr2.train()
+    assert tr2.step == 8
+    # resumed trainable differs from the checkpointed one (training continued)
+    a0 = np.asarray(jax.tree_util.tree_leaves(tr.trainable)[0])
+    a1 = np.asarray(jax.tree_util.tree_leaves(tr2.trainable)[0])
+    assert not np.allclose(a0, a1)
+
+
+def test_save_model_adapter_roundtrip(model_dir, tmp_path):
+    args = _args(tmp_path, max_steps=2, logging_steps=1)
+    enc = LlamaBiSparse.build(model_dir, args)
+    tr = Trainer(enc, args, ListLoader(_fake_batches(1, 2, 2, 8) * 3))
+    tr.train()
+    out = str(tmp_path / "adapter")
+    tr.save_model(out)
+    assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
+    lora, lc = load_adapter(out, enc.config)
+    assert lc.r == 4
+    # trained B factors are non-zero
+    b = np.asarray(lora["layers"]["attn"]["wq"]["b"])
+    assert np.abs(b).max() > 0
+
+
+def test_dense_trainer_smoke(model_dir, tmp_path):
+    args = _args(tmp_path, max_steps=3, logging_steps=1,
+                 task_names=("rank",), task_weights=(1.0,), T=0.05)
+    enc = LlamaBiDense.build(model_dir, args)
+    tr = Trainer(enc, args, ListLoader(_fake_batches(1, 2, 2, 8) * 5))
+    tr.train()
+    with open(os.path.join(str(tmp_path), "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert all(np.isfinite(l["loss"]) for l in logs)
+
+
+def test_train_sparse_cli(model_dir, train_files, tmp_path):
+    corpus, train_path = train_files
+    out = str(tmp_path / "cli_out")
+    train_sparse.main([
+        "--model_name_or_path", model_dir, "--corpus_path", corpus,
+        "--train_path", train_path, "--output_dir", out,
+        "--loss_type", "nce", "--max_steps", "3", "--logging_steps", "1",
+        "--per_device_train_batch_size", "1", "--n_negs", "2",
+        "--query_max_length", "16", "--doc_max_length", "16",
+        "--lora_r", "4", "--lora_alpha", "8", "--data_source", "msmarco",
+        "--fixed_length",
+    ])
+    assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
+    assert os.path.exists(os.path.join(out, "trainer_log.jsonl"))
