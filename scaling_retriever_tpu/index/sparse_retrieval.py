@@ -46,7 +46,12 @@ class SparseRetrieval:
         self.data_axis = data_axis
         self._cpp = None
 
-        if engine in ("xla", "pallas"):
+        if engine == "segsort":
+            from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+            self._seg = SegsortEngine(self.index, topk=topk)
+            self.n_docs = self.index.nb_docs()
+        elif engine in ("xla", "pallas"):
             terms_np, vals_np = self.index.to_doc_major()
             self.n_docs = terms_np.shape[0]
             terms = jnp.asarray(terms_np)
@@ -105,7 +110,20 @@ class SparseRetrieval:
         stats = {"L0_q": float((q_dense != 0).sum(axis=-1).mean()) if nq else 0.0}
 
         res: dict = defaultdict(dict)
-        if self.engine == "cpp":
+        if self.engine == "segsort":
+            tile = self.query_tile
+            for start in range(0, nq, tile):
+                q_tile = q_dense[start:start + tile]
+                pad = tile - q_tile.shape[0]
+                if pad:
+                    q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+                scores, rows = self._seg.retrieve_tile(q_tile, topk)
+                for local_qi in range(min(tile, nq - start)):
+                    qid = qids[start + local_qi]
+                    for row, sc in zip(rows[local_qi], scores[local_qi]):
+                        if sc > threshold and row < self.n_docs:
+                            res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+        elif self.engine == "cpp":
             ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
             for qi, qid in enumerate(qids):
                 for row, sc in zip(ids_k[qi], scores_k[qi]):

@@ -1,0 +1,181 @@
+"""Sort-based inverted-index scoring ("segsort" engine).
+
+The doc-major sweep (sparse_scoring.py) reads the whole index per query
+tile; its cost is N·K row-gathers regardless of the query. This engine does
+work proportional to the *matched* postings only — on MSMARCO-like stats
+(L0_q≈48, avg posting list ≈ N·K/V ≈ 8.8k) that is ~425k postings per query,
+~2500x less raw work — using only TPU-friendly primitives measured fast on
+this hardware class: contiguous row-gathers, one big sort, an associative
+segmented scan, and top-k. No scatter (≈13M/s on v5e via XLA — hopeless) and
+no scalar 1D gathers (≈68M/s).
+
+Pipeline per query tile (all static shapes):
+  1. query sparsification: top-T terms per query from the dense reps
+     (exact when T ≥ L0_q, the practical case for SPLADE queries);
+  2. posting expansion: for slot p ∈ [0, P) of each query, locate the
+     (term, within-list offset) via a vectorized searchsorted over the
+     per-query cumulative posting lengths → flat CSR position;
+  3. fetch (doc_row, value) with ONE 2D row-gather from the packed postings
+     matrix [nnz, 8] (row-gathers amortize ~5-10x better than scalar
+     gathers on TPU);
+  4. key = qid·(N+1) + doc_row (int32-safe for nq·N < 2^31); invalid slots
+     get the per-query sentinel row N;
+  5. one sort of [nq·P] (key, contribution) pairs → per-doc runs are
+     contiguous and each query owns exactly P consecutive slots;
+  6. segmented sum via associative_scan with a boundary-reset operator;
+  7. reshape [nq, P], mask run-ends, top-k.
+
+Exactness: results equal brute force whenever T covers all query nonzeros
+and P ≥ max matched postings per query; both are checked host-side per tile
+(truncation falls back to larger buckets, power-of-two sized to bound
+recompiles).
+
+Replaces: reference numba kernel (scaling_retriever/indexer.py:324-344) —
+same term-at-a-time semantics, reformulated as sort+scan instead of
+scatter-add.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_postings(offsets: np.ndarray, doc_rows: np.ndarray,
+                  values: np.ndarray) -> np.ndarray:
+    """CSR postings → packed int32 matrix [nnz, 2]: col0 doc_row, col1 value
+    bits (f32 bitcast). One posting per gatherable row; 2 lanes keeps the
+    index at 8 bytes/posting (9 GB for MSMARCO's 1.1B postings)."""
+    nnz = doc_rows.shape[0]
+    packed = np.zeros((nnz, 2), np.int32)
+    packed[:, 0] = doc_rows.astype(np.int32)
+    packed[:, 1] = values.astype(np.float32).view(np.int32)
+    return packed
+
+
+def _segmented_sum_scan(vals: jax.Array, starts: jax.Array) -> jax.Array:
+    """Inclusive segmented sum: resets at positions where starts==True."""
+    flags = starts.astype(jnp.float32)
+
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return (vb + (1.0 - fb) * va, jnp.maximum(fa, fb))
+
+    out, _ = jax.lax.associative_scan(op, (vals, flags))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p_budget", "n_docs"))
+def segsort_retrieve(packed: jax.Array, offsets: jax.Array,
+                     q_terms: jax.Array, q_vals: jax.Array,
+                     k: int, p_budget: int, n_docs: int
+                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """packed: [nnz, 8] int32 postings; offsets: [V+1] int32;
+    q_terms/q_vals: [nq, T] sparsified queries (term id, weight; weight 0 ⇒
+    unused slot). Returns (scores [nq,k], rows [nq,k], matched [nq])."""
+    nq, T = q_terms.shape
+    sentinel = jnp.int32(n_docs)  # per-query sentinel row
+
+    lens = (offsets[q_terms + 1] - offsets[q_terms]) * (q_vals > 0)  # [nq, T]
+    starts_flat = offsets[q_terms]                                   # [nq, T]
+    cum = jnp.cumsum(lens, axis=1)                                   # [nq, T]
+    total = cum[:, -1]                                               # [nq]
+
+    pos = jnp.arange(p_budget, dtype=jnp.int32)                      # [P]
+    # slot s.t. cum[s-1] <= pos < cum[s]
+    slot = jax.vmap(lambda c: jnp.searchsorted(c, pos, side="right"))(cum)
+    slot = jnp.minimum(slot, T - 1)                                  # [nq, P]
+    prev_cum = jnp.where(slot > 0,
+                         jnp.take_along_axis(cum, jnp.maximum(slot - 1, 0),
+                                             axis=1), 0)
+    within = pos[None, :] - prev_cum
+    flat_idx = jnp.take_along_axis(starts_flat, slot, axis=1) + within
+    valid = pos[None, :] < total[:, None]
+    flat_idx = jnp.where(valid, flat_idx, 0)
+
+    fetched = jnp.take(packed, flat_idx.reshape(-1), axis=0)         # [nq*P, 8]
+    rows = fetched[:, 0].reshape(nq, p_budget)
+    vals = jax.lax.bitcast_convert_type(fetched[:, 1], jnp.float32
+                                        ).reshape(nq, p_budget)
+    qw = jnp.take_along_axis(q_vals, slot, axis=1)                   # [nq, P]
+    contrib = jnp.where(valid, vals * qw, 0.0)
+    rows = jnp.where(valid, rows, sentinel)
+
+    qid = jax.lax.broadcasted_iota(jnp.int32, (nq, p_budget), 0)
+    key = qid * jnp.int32(n_docs + 1) + rows                         # [nq, P]
+
+    skey, scontrib = jax.lax.sort(
+        (key.reshape(-1), contrib.reshape(-1)), num_keys=1)
+
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    seg = _segmented_sum_scan(scontrib, is_start)
+    is_end = jnp.concatenate([skey[:-1] != skey[1:], jnp.ones((1,), bool)])
+
+    srow = skey % jnp.int32(n_docs + 1)
+    score = jnp.where(is_end & (srow != sentinel), seg, -jnp.inf)
+    score = score.reshape(nq, p_budget)
+    srow = srow.reshape(nq, p_budget)
+
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    top_rows = jnp.take_along_axis(srow, top_idx, axis=1)
+    return top_scores, top_rows, total
+
+
+class SegsortEngine:
+    """Host driver: owns the packed index on device and picks power-of-two
+    posting budgets per tile (bounded recompiles)."""
+
+    def __init__(self, index, topk: int = 1000, query_terms_budget: int = 64,
+                 min_budget: int = 1 << 17):
+        self.index = index
+        self.topk = topk
+        self.T = query_terms_budget
+        self.min_budget = min_budget
+        self.n_docs = index.nb_docs()
+        packed = pack_postings(index.offsets, index.doc_rows, index.values)
+        self.packed = jnp.asarray(packed)
+        self.offsets = jnp.asarray(index.offsets.astype(np.int64))
+        self._host_offsets = index.offsets
+        # posting lengths for host-side budget estimation
+        self._host_lens = np.diff(index.offsets)
+
+    def sparsify_queries(self, q_dense: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        nq, V = q_dense.shape
+        T = self.T
+        n_nonzero = (q_dense > 0).sum(axis=1)
+        if n_nonzero.max(initial=0) > T:
+            # keep exactness: widen to the next multiple of 8
+            T = int(-(-int(n_nonzero.max()) // 8) * 8)
+        idx = np.argpartition(-q_dense, min(T, V - 1), axis=1)[:, :T]
+        vals = np.take_along_axis(q_dense, idx, axis=1)
+        order = np.argsort(-vals, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, order, axis=1)
+        vals = np.take_along_axis(vals, order, axis=1)
+        idx = np.where(vals > 0, idx, 0)
+        return idx.astype(np.int32), vals.astype(np.float32)
+
+    def retrieve_tile(self, q_dense: np.ndarray, topk: Optional[int] = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """q_dense [nq, V] → (scores [nq, k], rows [nq, k]); exact."""
+        topk = topk or self.topk
+        q_terms, q_vals = self.sparsify_queries(q_dense)
+        # exact posting budget from host-side lengths, next power of two
+        need = int((self._host_lens[q_terms] * (q_vals > 0)).sum(axis=1).max())
+        p_budget = self.min_budget
+        while p_budget < need:
+            p_budget *= 2
+        k = min(topk, self.n_docs)
+        scores, rows, total = segsort_retrieve(
+            self.packed, self.offsets, jnp.asarray(q_terms),
+            jnp.asarray(q_vals), k=k, p_budget=p_budget, n_docs=self.n_docs)
+        scores = np.asarray(scores, np.float32)
+        rows = np.asarray(rows)
+        assert int(np.asarray(total).max()) <= p_budget
+        return scores, rows

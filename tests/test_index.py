@@ -211,3 +211,44 @@ def test_dense_flat_indexer_matches_numpy(tmp_path):
         order = np.argsort(-want[qi], kind="stable")[:5]
         # fp16 storage round-trip tolerance
         np.testing.assert_allclose(scores, want[qi][order], atol=5e-2)
+
+
+def test_segsort_engine_exact(corpus_index):
+    from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    nq, k = 6, 9
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = RNG.choice(V, size=10, replace=False)
+        q[i, terms] = RNG.uniform(0.1, 2.0, size=10)
+
+    eng = SegsortEngine(idx, topk=k, query_terms_budget=16, min_budget=256)
+    scores, rows = eng.retrieve_tile(q, k)
+    want = q @ dense.T
+    for i in range(nq):
+        pos = np.sort(want[i][want[i] > 0])[::-1]
+        n_expected = min(k, len(pos))
+        np.testing.assert_allclose(np.sort(scores[i][scores[i] > 0])[::-1][:n_expected],
+                                   pos[:n_expected], atol=1e-4, rtol=1e-4)
+        for r, s in zip(rows[i], scores[i]):
+            if s > 0 and r < idx.nb_docs():
+                np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
+
+
+def test_segsort_widens_term_budget(corpus_index):
+    """Queries with more nonzeros than the budget stay exact (budget widens)."""
+    from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    q = np.zeros((2, V), np.float32)
+    q[0, RNG.choice(V, size=40, replace=False)] = 1.0  # 40 > budget 16
+    q[1, RNG.choice(V, size=3, replace=False)] = 2.0
+    eng = SegsortEngine(idx, topk=5, query_terms_budget=16, min_budget=256)
+    scores, rows = eng.retrieve_tile(q, 5)
+    want = q @ dense.T
+    for i in range(2):
+        np.testing.assert_allclose(scores[i], np.sort(want[i])[::-1][:5],
+                                   atol=1e-4, rtol=1e-4)
