@@ -64,6 +64,10 @@ class ModelConfig:
         """Build from a parsed HF ``config.json`` dict."""
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in cfg.items() if k in known}
+        # Qwen2 has bias on the q/k/v projections (HF hardwires it in
+        # Qwen2Attention; the config carries no flag)
+        if cfg.get("model_type") == "qwen2":
+            kwargs.setdefault("attention_qkv_bias", True)
         kwargs.update(overrides)
         return cls(**kwargs)
 

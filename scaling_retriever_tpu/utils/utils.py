@@ -1,0 +1,65 @@
+"""Runtime utilities (reference scaling_retriever/utils/utils.py:20-90).
+
+The reference's helpers are torch.distributed-flavored; here the runtime is a
+single JAX process over a mesh, so the equivalents are either trivial
+(process index checks) or expressed as collectives inside jit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def is_first_worker() -> bool:
+    """True on process 0 (reference utils.py:20-21)."""
+    return jax.process_index() == 0
+
+
+def to_list(x) -> list:
+    """(reference utils.py:23-24)"""
+    return np.asarray(x).tolist()
+
+
+def supports_bfloat16() -> bool:
+    """Every TPU supports bf16; CPUs emulate it (reference utils.py:69-75
+    checks CUDA compute capability >= 8)."""
+    return jax.default_backend() in ("tpu", "axon") or True
+
+
+def batch_to_device(batch: dict, sharding=None) -> dict:
+    """Place numpy batch leaves on device (reference utils.py:78-82)."""
+    def place(v):
+        if hasattr(v, "shape"):
+            return jax.device_put(jnp.asarray(v), sharding)
+        return v
+
+    return {k: place(v) for k, v in batch.items()}
+
+
+def get_data_source(args) -> str:
+    """Path-sniffing datasource detection (reference utils.py:84-90)."""
+    from scaling_retriever_tpu.constants import guess_data_source
+
+    for attr in ("corpus_path", "query_path", "train_path"):
+        path = getattr(args, attr, None)
+        if path:
+            return guess_data_source(path)
+    return "msmarco"
+
+
+def sum_to_main(value, axis: str = "data"):
+    """Sum a per-shard value onto every shard; inside shard_map/pjit this is
+    one psum over ICI (reference utils.py:45-52 does dist.reduce to rank 0)."""
+    return jax.lax.psum(value, axis)
+
+
+def distributed_weighted_average(value, weight, axis: str = "data"):
+    """Weighted average across the mesh axis (reference utils.py:54-66)."""
+    total = jax.lax.psum(value * weight, axis)
+    denom = jax.lax.psum(weight, axis)
+    return total / jnp.maximum(denom, 1e-9)
