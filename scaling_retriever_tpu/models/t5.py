@@ -1,0 +1,295 @@
+"""T5 encoder-decoder in pure JAX (for the T5Sparse retriever family).
+
+The reference's ``T5Sparse`` wraps HF ``T5ForConditionalGeneration``
+(reference scaling_retriever/modeling/llm_encoder.py:156-172) with
+``decoder_input_ids = input_ids`` (data_collator.py:43-44) and SPLADE-pools
+the decoder logits per token. This module reimplements the T5 stack
+TPU-first with the same stacked-layer lax.scan layout as llama.py.
+
+T5-specific numerics (pinned by the HF oracle test):
+  * attention logits are NOT scaled by 1/sqrt(d_kv) (the scale is folded
+    into initialization);
+  * a learned relative-position bias (bucketed, bidirectional for the
+    encoder, causal-bucketed for the decoder self-attention) is computed
+    from block 0's embedding and shared by all layers;
+  * T5LayerNorm is RMSNorm without bias (f32 stats, eps 1e-6);
+  * when embeddings are tied, logits are rescaled by d_model**-0.5;
+  * v1.0 FFN is ReLU(wi)·wo; v1.1 is gated GELU (wi_0, wi_1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import re
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK_VALUE = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 512
+    d_kv: int = 64
+    d_ff: int = 2048
+    num_layers: int = 6
+    num_decoder_layers: int = 6
+    num_heads: int = 8
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "relu"
+    tie_word_embeddings: bool = True
+    dtype: object = jnp.float32
+    param_dtype: object = jnp.float32
+
+    @property
+    def is_gated(self) -> bool:
+        return "gated" in self.feed_forward_proj
+
+    @property
+    def act(self):
+        name = self.feed_forward_proj.replace("gated-", "")
+        return {"relu": jax.nn.relu,
+                "gelu": lambda x: jax.nn.gelu(x, approximate=True),
+                "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+                "silu": jax.nn.silu}[name]
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, **overrides) -> "T5Config":
+        with open(os.path.join(model_dir, "config.json")) as f:
+            cfg = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in cfg.items() if k in known}
+        if cfg.get("num_decoder_layers") is None:
+            kwargs["num_decoder_layers"] = kwargs.get("num_layers", 6)
+        if cfg.get("feed_forward_proj"):
+            kwargs["feed_forward_proj"] = cfg["feed_forward_proj"]
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+
+def t5_layer_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return weight * (xf * jax.lax.rsqrt(var + eps)).astype(dtype)
+
+
+def relative_position_bucket(relative_position: jax.Array, bidirectional: bool,
+                             num_buckets: int, max_distance: int) -> jax.Array:
+    """HF T5Attention._relative_position_bucket semantics."""
+    rp = relative_position
+    ret = jnp.zeros_like(rp)
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (rp > 0).astype(jnp.int32) * num_buckets
+        rp = jnp.abs(rp)
+    else:
+        rp = -jnp.minimum(rp, 0)
+    max_exact = num_buckets // 2
+    is_small = rp < max_exact
+    large = max_exact + (
+        jnp.log(rp.astype(jnp.float32) / max_exact + 1e-9)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, num_buckets - 1)
+    return ret + jnp.where(is_small, rp, large)
+
+
+def position_bias(rel_embedding: jax.Array, q_len: int, k_len: int,
+                  bidirectional: bool, num_buckets: int, max_distance: int
+                  ) -> jax.Array:
+    """[1, H, q_len, k_len] learned bias from [num_buckets, H] embedding."""
+    ctx = jnp.arange(q_len)[:, None]
+    mem = jnp.arange(k_len)[None, :]
+    buckets = relative_position_bucket(mem - ctx, bidirectional,
+                                       num_buckets, max_distance)
+    bias = rel_embedding[buckets]            # [q, k, H]
+    return jnp.transpose(bias, (2, 0, 1))[None].astype(jnp.float32)
+
+
+def _attn(q, k, v, bias):
+    """T5 attention: unscaled logits + additive bias; q/k/v [B,S,H,dk]."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    b, s, h, d = out.shape
+    return out.reshape(b, s, h * d)
+
+
+def _proj(x, w):
+    return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def _ffn(x, lp, config: T5Config):
+    if config.is_gated:
+        h = config.act(_proj(x, lp["wi_0"])) * _proj(x, lp["wi_1"])
+    else:
+        h = config.act(_proj(x, lp["wi"]))
+    return _proj(h, lp["wo"])
+
+
+def _stack_forward(h, layers, config: T5Config, self_bias, cross=None,
+                   cross_bias=None):
+    """Scan over encoder (cross=None) or decoder blocks."""
+    nh, dk = config.num_heads, config.d_kv
+
+    def split(x):
+        b, s, _ = x.shape
+        return x.reshape(b, s, nh, dk)
+
+    def body(carry, lp):
+        h = carry
+        x = t5_layer_norm(h, lp["self_ln"], config.layer_norm_epsilon)
+        att = _attn(split(_proj(x, lp["self_q"])), split(_proj(x, lp["self_k"])),
+                    split(_proj(x, lp["self_v"])), self_bias)
+        h = h + _proj(att, lp["self_o"])
+        if cross is not None:
+            x = t5_layer_norm(h, lp["cross_ln"], config.layer_norm_epsilon)
+            ckv = cross
+            att = _attn(split(_proj(x, lp["cross_q"])),
+                        split(_proj(ckv, lp["cross_k"])),
+                        split(_proj(ckv, lp["cross_v"])), cross_bias)
+            h = h + _proj(att, lp["cross_o"])
+        x = t5_layer_norm(h, lp["ffn_ln"], config.layer_norm_epsilon)
+        h = h + _ffn(x, lp, config)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, layers)
+    return h
+
+
+def encode(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
+           config: T5Config) -> jax.Array:
+    """Encoder stack → [B, S, d_model]."""
+    h = params["shared"][input_ids].astype(config.dtype)
+    s = input_ids.shape[1]
+    bias = position_bias(params["encoder"]["rel_bias"], s, s, True,
+                         config.relative_attention_num_buckets,
+                         config.relative_attention_max_distance)
+    pad = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, MASK_VALUE)
+    h = _stack_forward(h, params["encoder"]["layers"], config, bias + pad)
+    return t5_layer_norm(h, params["encoder"]["final_ln"],
+                         config.layer_norm_epsilon)
+
+
+def forward_logits(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
+                   decoder_input_ids: jax.Array,
+                   decoder_attention_mask: Optional[jax.Array] = None,
+                   config: Optional[T5Config] = None) -> jax.Array:
+    """Full enc-dec forward → decoder lm logits [B, S_dec, V]
+    (HF T5ForConditionalGeneration semantics)."""
+    enc = encode(params, input_ids, attention_mask, config)
+    b, s_dec = decoder_input_ids.shape
+    s_enc = input_ids.shape[1]
+    if decoder_attention_mask is None:
+        decoder_attention_mask = jnp.ones_like(decoder_input_ids)
+
+    h = params["shared"][decoder_input_ids].astype(config.dtype)
+    self_bias = position_bias(params["decoder"]["rel_bias"], s_dec, s_dec, False,
+                              config.relative_attention_num_buckets,
+                              config.relative_attention_max_distance)
+    causal = jnp.tril(jnp.ones((s_dec, s_dec), bool))
+    dec_pad = decoder_attention_mask[:, None, None, :].astype(bool) & causal[None, None]
+    self_bias = self_bias + jnp.where(dec_pad, 0.0, MASK_VALUE)
+    cross_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
+                           0.0, MASK_VALUE) + jnp.zeros((1, 1, s_dec, s_enc))
+
+    h = _stack_forward(h, params["decoder"]["layers"], config, self_bias,
+                       cross=enc, cross_bias=cross_bias)
+    h = t5_layer_norm(h, params["decoder"]["final_ln"], config.layer_norm_epsilon)
+
+    if config.tie_word_embeddings:
+        h = h * (config.d_model ** -0.5)
+        return jnp.dot(h, params["shared"].T.astype(h.dtype))
+    return jnp.dot(h, params["lm_head"].astype(h.dtype))
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint loading
+# ---------------------------------------------------------------------------
+
+_BLOCK_RE = re.compile(r"(encoder|decoder)\.block\.(\d+)\.layer\.(\d+)\.(.+)$")
+
+_SELF_MAP = {
+    "SelfAttention.q.weight": "self_q", "SelfAttention.k.weight": "self_k",
+    "SelfAttention.v.weight": "self_v", "SelfAttention.o.weight": "self_o",
+    "layer_norm.weight": "self_ln",
+}
+_CROSS_MAP = {
+    "EncDecAttention.q.weight": "cross_q", "EncDecAttention.k.weight": "cross_k",
+    "EncDecAttention.v.weight": "cross_v", "EncDecAttention.o.weight": "cross_o",
+    "layer_norm.weight": "cross_ln",
+}
+_FFN_MAP = {
+    "DenseReluDense.wi.weight": "wi", "DenseReluDense.wi_0.weight": "wi_0",
+    "DenseReluDense.wi_1.weight": "wi_1", "DenseReluDense.wo.weight": "wo",
+    "layer_norm.weight": "ffn_ln",
+}
+
+
+def params_from_hf_tensors(tensors: dict, config: T5Config) -> dict:
+    enc_layers: dict = {}
+    dec_layers: dict = {}
+    params: dict = {"encoder": {}, "decoder": {}}
+
+    for key, value in tensors.items():
+        if key == "shared.weight":
+            params["shared"] = value.astype(config.param_dtype)
+        elif key == "lm_head.weight":
+            params["lm_head"] = value.T.astype(config.param_dtype)
+        elif key.endswith("encoder.final_layer_norm.weight"):
+            params["encoder"]["final_ln"] = value.astype(config.param_dtype)
+        elif key.endswith("decoder.final_layer_norm.weight"):
+            params["decoder"]["final_ln"] = value.astype(config.param_dtype)
+        elif "relative_attention_bias.weight" in key:
+            side = "encoder" if key.startswith("encoder") else "decoder"
+            params[side]["rel_bias"] = value.astype(config.param_dtype)
+        else:
+            m = _BLOCK_RE.match(key)
+            if not m:
+                continue
+            side, block, layer_idx, frag = (m.group(1), int(m.group(2)),
+                                            int(m.group(3)), m.group(4))
+            is_dec = side == "decoder"
+            if layer_idx == 0:
+                mapping = _SELF_MAP
+            elif is_dec and layer_idx == 1:
+                mapping = _CROSS_MAP
+            else:
+                mapping = _FFN_MAP
+            if frag not in mapping:
+                continue
+            name = mapping[frag]
+            transpose = not name.endswith("_ln")
+            store = dec_layers if is_dec else enc_layers
+            arr = value.T if transpose else value
+            store.setdefault(name, {})[block] = arr.astype(config.param_dtype)
+
+    def stack(store: dict, n: int) -> dict:
+        return {name: jnp.stack([by_idx[i] for i in range(n)], 0)
+                for name, by_idx in store.items()}
+
+    params["encoder"]["layers"] = stack(enc_layers, config.num_layers)
+    params["decoder"]["layers"] = stack(dec_layers, config.num_decoder_layers)
+    if config.tie_word_embeddings:
+        params.pop("lm_head", None)
+    return params
+
+
+def load_pretrained(model_dir: str, **overrides) -> tuple[dict, T5Config]:
+    from scaling_retriever_tpu.models.hf_loader import load_hf_tensors
+
+    config = T5Config.from_pretrained(model_dir, **overrides)
+    return params_from_hf_tensors(load_hf_tensors(model_dir), config), config

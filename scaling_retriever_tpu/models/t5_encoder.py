@@ -1,0 +1,79 @@
+"""T5Sparse retriever (reference scaling_retriever/modeling/llm_encoder.py:156-172).
+
+Encode: run the full enc-dec with ``decoder_input_ids = input_ids`` (the
+collator copies them, reference data_collator.py:43-44), scale logits by
+``d_model**-0.25`` only when ``d_model >= 2048`` (the reference's asymmetric
+quirk, llm_encoder.py:167-168), then per-token ``log1p(relu)·mask`` max-pool
+— note the T5 head pools per token, unlike the decoder-only head's
+max-then-log order (llm_encoder.py:170 vs :193).
+
+LoRA for T5 (target modules q/v/o/k/wi_0/wi_1/wo, llm_encoder.py:158) is not
+wired yet — T5Sparse.load supports full checkpoints and merged adapters only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scaling_retriever_tpu.models import t5
+from scaling_retriever_tpu.models.encoder import LLM2Retriever, _resolve_model_dir
+from scaling_retriever_tpu.ops.pooling import sparse_pool_per_token
+
+
+class T5Sparse(LLM2Retriever):
+    MODEL_TYPE = "t5"
+    POOLING = "sparse"
+    BASE_MODEL_CLASS = "T5ForConditionalGeneration"
+    TARGET_MODULES = ("q", "v", "o", "k", "wi_0", "wi_1", "wo")
+
+    def __init__(self, params: dict, config: t5.T5Config, lora=None,
+                 lora_config=None, T: float = 1.0):
+        self.params = params
+        self.config = config
+        self.lora = lora
+        self.lora_config = lora_config
+        self.T = T
+        self._encode_jit = jax.jit(self.encode_pure)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.config.vocab_size
+
+    @property
+    def hidden_size(self) -> int:
+        return self.config.d_model
+
+    def encode_pure(self, params, lora, input_ids, attention_mask):
+        assert lora is None, "T5 LoRA not wired yet"
+        logits = t5.forward_logits(params, input_ids, attention_mask,
+                                   decoder_input_ids=input_ids,
+                                   decoder_attention_mask=attention_mask,
+                                   config=self.config)
+        scale = self.config.d_model >= 2048
+        return sparse_pool_per_token(logits, attention_mask,
+                                     self.config.d_model, scale)
+
+    @classmethod
+    def build(cls, model_name_or_path: str, args, config=None, rng=None,
+              **overrides):
+        params, cfg = t5.load_pretrained(_resolve_model_dir(model_name_or_path),
+                                         **overrides)
+        if getattr(args, "lora", False):
+            raise NotImplementedError("T5 LoRA training is not wired yet")
+        return cls(params, cfg)
+
+    @classmethod
+    def load(cls, model_name_or_path: str, lora_name_or_path=None,
+             merge_peft: bool = True, is_trainable: bool = False,
+             T: float = 0.01, **overrides):
+        assert lora_name_or_path is None, "T5 adapters not supported yet"
+        params, cfg = t5.load_pretrained(_resolve_model_dir(model_name_or_path),
+                                         **overrides)
+        return cls(params, cfg)
+
+
+T5SparseForMarginMSE = type("T5SparseForMarginMSE", (T5Sparse,),
+                            {"LOSS_TYPE": "margin_mse"})

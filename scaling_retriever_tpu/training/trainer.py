@@ -135,10 +135,20 @@ class Trainer:
             tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
         self.tx = tx
 
-        # placement: base params replicated or FSDP-sharded; trainable params
-        # (LoRA factors, or the full tree when lora=False) follow the same rule
+        # placement: base params replicated, FSDP-sharded over 'data', and/or
+        # tensor-parallel over 'model'; trainable params (LoRA factors, or the
+        # full tree when lora=False) follow the same rule
         self.use_lora = encoder.lora is not None
-        if args.fsdp and self.mesh.shape["data"] > 1:
+        n_model = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get(
+            "model", 1)
+        if n_model > 1:
+            from scaling_retriever_tpu.parallel.partitioning import (
+                model_parallel_shardings,
+            )
+
+            self.param_shardings = model_parallel_shardings(
+                encoder.params, self.mesh, fsdp=args.fsdp)
+        elif args.fsdp and self.mesh.shape["data"] > 1:
             self.param_shardings = fsdp_shardings(encoder.params, self.mesh)
         else:
             self.param_shardings = replicated_shardings(encoder.params, self.mesh)
