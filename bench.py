@@ -4,11 +4,17 @@ The reference's headline number is MSMARCO-Dev sparse retrieval in ~15 min on
 >32 CPUs with the numba inverted-index engine (reference README.md:89-94) —
 6,980 dev queries → ~7.8 QPS (BASELINE.md). This benchmark runs the same
 workload shape on one TPU chip: 8,841,823 docs (MSMARCO passage count),
-top-1000, vocab 128,256 (Llama-3), SPLADE-like density (K=128 postings/doc,
-L0_q=48 query terms), via the fused doc-major gather+reduce+top-k engine.
+top-1000, vocab 128,256 (Llama-3), K=128 postings/doc, via the doc-major
+gather+reduce engine with a fused running top-k (ops/sparse_scoring.py),
+256-query tiles.
 
-Synthetic postings are used (no dataset in the image); scoring cost is
-data-independent — static shapes, every posting read exactly once.
+Methodology notes (measured on this v5e):
+  * every timed call is forced to completion with a host read —
+    jax.block_until_ready returns early on this backend;
+  * query tiles are generated on device: in production the query encoder
+    runs on the same chip, so queries never cross the host link;
+  * synthetic postings — scoring cost is data-independent (static shapes,
+    every posting read exactly once).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,16 +35,15 @@ from scaling_retriever_tpu.ops.sparse_scoring import (  # noqa: E402
     pad_docs, retrieve_doc_major,
 )
 
-BASELINE_QPS = 7.8  # BASELINE.md: ~15 min for MSMARCO Dev on >32 CPUs
+BASELINE_QPS = 7.8      # BASELINE.md: ~15 min for MSMARCO Dev on >32 CPUs
 
 N_DOCS = 8_841_823      # MSMARCO passage collection size
 K = 128                 # postings per doc (SPLADE-like L0_d)
 VOCAB = 128_256         # Llama-3 vocab
-L0_Q = 48               # query nonzeros
 TOPK = 1000
-TILE = 32               # queries per device call
-BLOCK = 8192
-N_TILES_TIMED = 6       # 192 queries timed
+TILE = 256              # queries per device call (gather cost amortizes)
+BLOCK = 32_768
+N_TILES_TIMED = 3       # 768 queries timed
 
 
 def log(msg: str) -> None:
@@ -47,32 +52,37 @@ def log(msg: str) -> None:
 
 def main() -> None:
     log(f"devices: {jax.devices()}")
-    rng = np.random.default_rng(0)
 
-    log("building synthetic MSMARCO-scale index on host ...")
-    terms = rng.integers(0, VOCAB, (N_DOCS, K), dtype=np.int32)
-    vals = rng.uniform(0.1, 3.0, (N_DOCS, K)).astype(np.float32)
+    # synthetic index generated ON DEVICE with a multiplicative hash — the
+    # host link through this environment's tunnel moves ~0.06-0.5 GB/s, so a
+    # 6.8 GB host-side index can blow the bench budget on transfer alone
+    n_pad = -(-N_DOCS // BLOCK) * BLOCK
+    log(f"generating {n_pad}x{K} index on device ...")
 
-    log("device transfer ...")
-    t_dev = jnp.asarray(terms)
-    v_dev = jnp.asarray(vals, jnp.bfloat16)
-    del terms, vals
-    t_dev, v_dev = pad_docs(t_dev, v_dev, BLOCK)
-    jax.block_until_ready((t_dev, v_dev))
-    log(f"index on device: terms {t_dev.shape} ({t_dev.nbytes/1e9:.2f} GB) + "
-        f"vals ({v_dev.nbytes/1e9:.2f} GB)")
+    @jax.jit
+    def gen_index():
+        i = (jax.lax.broadcasted_iota(jnp.uint32, (n_pad, K), 0) * jnp.uint32(K)
+             + jax.lax.broadcasted_iota(jnp.uint32, (n_pad, K), 1))
+        h = i * jnp.uint32(2654435761)
+        h = h ^ (h >> 15)
+        terms = (h % jnp.uint32(VOCAB)).astype(jnp.int32)
+        vals = (0.1 + 2.9 * ((h >> 8) & 0xFFFF).astype(jnp.float32) / 65536.0
+                ).astype(jnp.bfloat16)
+        return terms, vals
 
-    tiles = []
-    for _ in range(N_TILES_TIMED):
-        q = np.zeros((TILE, VOCAB), np.float32)
-        for j in range(TILE):
-            idx = rng.choice(VOCAB, size=L0_Q, replace=False)
-            q[j, idx] = rng.uniform(0.1, 2.0, size=L0_Q)
-        tiles.append(jnp.asarray(q.T))
+    t0 = time.perf_counter()
+    t_dev, v_dev = gen_index()
+    _ = (int(t_dev[0, 0]), float(v_dev[0, 0]))
+    log(f"index on device in {time.perf_counter() - t0:.0f}s: "
+        f"{(t_dev.nbytes + v_dev.nbytes) / 1e9:.2f} GB")
 
-    # NOTE on timing: on this backend jax.block_until_ready returns before
-    # device execution completes, so every timed call is forced to finish by
-    # reading a scalar of the result back to the host.
+    # dense query tiles generated on device (bf16, ~48 effective terms'
+    # worth of mass — scoring cost is independent of the distribution)
+    gen = jax.jit(lambda key: jax.random.normal(key, (VOCAB, TILE), jnp.bfloat16))
+    tiles = [gen(jax.random.PRNGKey(i)) for i in range(N_TILES_TIMED + 1)]
+    for t in tiles:
+        _ = float(t[0, 0])
+
     def run_one(q_t):
         scores, rows = retrieve_doc_major(t_dev, v_dev, q_t, k=TOPK, block=BLOCK)
         return float(scores[0, 0]), int(rows[0, 0])
@@ -83,12 +93,12 @@ def main() -> None:
     log(f"compile+first: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    checks = [run_one(q_t) for q_t in tiles]
+    checks = [run_one(q_t) for q_t in tiles[1:]]
     dt = time.perf_counter() - t0
     n_queries = TILE * N_TILES_TIMED
     qps = n_queries / dt
     log(f"{n_queries} queries in {dt:.2f}s on {N_DOCS} docs -> {qps:.1f} QPS "
-        f"({dt / N_TILES_TIMED * 1e3:.1f} ms per {TILE}-query tile); "
+        f"({dt / N_TILES_TIMED:.2f} s per {TILE}-query tile); "
         f"sample top score {checks[0][0]:.2f} @ row {checks[0][1]}")
 
     print(json.dumps({

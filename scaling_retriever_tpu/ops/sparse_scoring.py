@@ -39,6 +39,28 @@ def pad_docs(terms, vals, block: int):
     return terms, vals
 
 
+def _score_block(tb: jax.Array, vb: jax.Array, q_t: jax.Array) -> jax.Array:
+    """[block, K] postings × q_t [V, nq] → [block, nq] scores.
+
+    Accumulates over K in a scan of single-column gathers so the peak
+    temporary is [block, nq] — a materialized [block, K, nq] gather result
+    at large nq monopolizes HBM and can stall the chip for minutes. The
+    gather is issue-rate-bound (~0.15 G rows/s on v5e regardless of table
+    size or row width), so wide query tiles amortize it linearly.
+    """
+    block, k = tb.shape
+    nq = q_t.shape[1]
+
+    def body(acc, tv):
+        tk, vk = tv  # [block], [block]
+        g = q_t[tk].astype(jnp.float32)          # [block, nq]
+        return acc + vk.astype(jnp.float32)[:, None] * g, None
+
+    init = jnp.zeros((block, nq), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, (tb.T, vb.T))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def score_doc_major(terms: jax.Array, vals: jax.Array, q_t: jax.Array,
                     block: int = 4096) -> jax.Array:
@@ -52,9 +74,7 @@ def score_doc_major(terms: jax.Array, vals: jax.Array, q_t: jax.Array,
 
     def body(_, tv):
         tb, vb = tv
-        g = q_t[tb]  # [block, K, nq] row gather
-        s = jnp.einsum("bk,bkn->bn", vb.astype(jnp.float32), g.astype(jnp.float32))
-        return None, s
+        return None, _score_block(tb, vb, q_t)
 
     _, scores = jax.lax.scan(body, None, (t_blocks, v_blocks))
     return scores.reshape(n, nq)
@@ -78,9 +98,7 @@ def retrieve_doc_major(terms: jax.Array, vals: jax.Array, q_t: jax.Array,
     def body(carry, xs):
         top_s, top_i = carry
         tb, vb, blk_idx = xs
-        g = q_t[tb]  # [block, K, nq]
-        s = jnp.einsum("bk,bkn->nb", vb.astype(jnp.float32),
-                       g.astype(jnp.float32))  # [nq, block]
+        s = _score_block(tb, vb, q_t).T  # [nq, block]
         rows = blk_idx * block + jax.lax.broadcasted_iota(
             jnp.int32, (nq, block), 1)
         cat_s = jnp.concatenate([top_s, s], axis=1)
