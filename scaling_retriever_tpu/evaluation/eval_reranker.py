@@ -79,9 +79,11 @@ def _load_pairs(args) -> list:
 def _bi_encoder_rerank(args, pairs) -> dict:
     from transformers import AutoTokenizer
 
+    from scaling_retriever_tpu.index.hybrid import LlamaBiHybrid
     from scaling_retriever_tpu.models.encoder import LlamaBiDense, LlamaBiSparse
 
-    cls = LlamaBiSparse if args.rerank_type == "splade" else LlamaBiDense
+    cls = {"splade": LlamaBiSparse, "dense_encoder": LlamaBiDense,
+           "hybrid_retriever": LlamaBiHybrid}[args.rerank_type]
     model = cls.load_from_lora(args.peft_model_name)
     try:
         tokenizer = AutoTokenizer.from_pretrained(args.peft_model_name)
@@ -158,13 +160,10 @@ def main(argv=None) -> dict:
     os.makedirs(args.output_dir, exist_ok=True)
     pairs = _load_pairs(args)
 
-    if args.rerank_type in ("splade", "dense_encoder"):
+    if args.rerank_type in ("splade", "dense_encoder", "hybrid_retriever"):
         out_run = _bi_encoder_rerank(args, pairs)
-    elif args.rerank_type == "cross_encoder":
-        out_run = _cross_encoder_rerank(args, pairs)
     else:
-        raise NotImplementedError(
-            "hybrid_retriever rerank needs the hybrid model (index/hybrid.py)")
+        out_run = _cross_encoder_rerank(args, pairs)
 
     name = "run.json" if args.world_size == 1 else f"run_{args.rank}.json"
     with open(os.path.join(args.output_dir, name), "w") as f:

@@ -32,11 +32,14 @@ class DecoderOnlyBiHybrid(LLM2Retriever):
 
     POOLING = "hybrid"
 
-    def encode_pure(self, params, lora, input_ids, attention_mask):
+    def encode_pure(self, params, lora, input_ids, attention_mask,
+                    dropout_rng=None):
         cfg = self.config
         scale = self.lora_config.scaling if (lora is not None and self.lora_config) else 0.0
+        drop = (self.lora_config.lora_dropout
+                if (lora is not None and self.lora_config) else 0.0)
         hidden = llama.forward_hidden(params, input_ids, attention_mask, cfg,
-                                      lora, scale)
+                                      lora, scale, drop, dropout_rng)
         if cfg.tie_word_embeddings or "lm_head" not in params:
             w = params["embed_tokens"].T.astype(hidden.dtype)
         else:

@@ -79,21 +79,31 @@ class LLM2Retriever:
     # -- pure functions (used by trainers / indexers under pjit) -----------
 
     def encode_pure(self, params: dict, lora: Optional[dict],
-                    input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+                    input_ids: jax.Array, attention_mask: jax.Array,
+                    dropout_rng: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         scale = self.lora_config.scaling if (lora is not None and self.lora_config) else 0.0
+        drop = (self.lora_config.lora_dropout
+                if (lora is not None and self.lora_config) else 0.0)
         if self.POOLING == "sparse":
             logits = llama.forward_logits(params, input_ids, attention_mask, cfg,
-                                          lora, scale)
+                                          lora, scale, drop, dropout_rng)
             return sparse_pool(logits, attention_mask, cfg.hidden_size)
         hidden = llama.forward_hidden(params, input_ids, attention_mask, cfg,
-                                      lora, scale)
+                                      lora, scale, drop, dropout_rng)
         return dense_pool(hidden, attention_mask)
 
-    def loss_forward(self, params: dict, lora: Optional[dict], batch: dict) -> dict:
+    def loss_forward(self, params: dict, lora: Optional[dict], batch: dict,
+                     dropout_rng: Optional[jax.Array] = None) -> dict:
         """Pure loss computation; the batch layouts are produced by the
         collators in data/collators.py (mirroring data_collator.py:25-245)."""
-        enc = functools.partial(self.encode_pure, params, lora)
+        counter = [0]
+
+        def enc(**inputs):
+            rng = (jax.random.fold_in(dropout_rng, counter[0])
+                   if dropout_rng is not None else None)
+            counter[0] += 1
+            return self.encode_pure(params, lora, dropout_rng=rng, **inputs)
         T = self.T if self.POOLING == "dense" else 1.0
         lt = self.LOSS_TYPE
         if lt == "nce":

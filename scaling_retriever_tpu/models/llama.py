@@ -161,12 +161,25 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
-          lora: Optional[dict] = None, lora_scale: float = 0.0) -> jax.Array:
-    """``x @ w (+ b)`` with an optional additive LoRA path ``(x @ A) @ B * s``."""
+          lora: Optional[dict] = None, lora_scale: float = 0.0,
+          lora_dropout: float = 0.0,
+          dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+    """``x @ w (+ b)`` with an optional additive LoRA path ``(x @ A) @ B * s``.
+
+    ``lora_dropout`` applies inverted dropout to the LoRA-branch input only
+    (peft semantics; reference sparse_trainer.py:311 defaults to 0.1,
+    run_mntp.py:82 to 0.05). Active only when a dropout_rng is provided
+    (training); inference is deterministic.
+    """
     y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if lora is not None:
         a, bb = lora["a"], lora["b"]
-        y = y + jnp.dot(jnp.dot(x, a.astype(x.dtype)), bb.astype(x.dtype)) * lora_scale
+        xl = x
+        if lora_dropout > 0.0 and dropout_rng is not None:
+            keep = 1.0 - lora_dropout
+            mask = jax.random.bernoulli(dropout_rng, keep, x.shape)
+            xl = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        y = y + jnp.dot(jnp.dot(xl, a.astype(x.dtype)), bb.astype(x.dtype)) * lora_scale
     if b is not None:
         y = y + b
     return y
@@ -208,7 +221,9 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, bias: jax.Array,
 
 def _layer_forward(h: jax.Array, lp: dict, bias: jax.Array,
                    cos: jax.Array, sin: jax.Array, config: ModelConfig,
-                   lora_lp: Optional[dict], lora_scale: float) -> jax.Array:
+                   lora_lp: Optional[dict], lora_scale: float,
+                   lora_dropout: float = 0.0,
+                   layer_rng: Optional[jax.Array] = None) -> jax.Array:
     """One decoder layer (pre-norm attention + SwiGLU MLP), bidirectional."""
     b_, s, hsz = h.shape
     nq, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
@@ -218,28 +233,37 @@ def _layer_forward(h: jax.Array, lp: dict, bias: jax.Array,
             return None
         return lora_lp.get(mod, {}).get(name)
 
+    def rng_for(slot: int):
+        if layer_rng is None:
+            return None
+        return jax.random.fold_in(layer_rng, slot)
+
+    def dn(x, w, b, lora, slot):
+        return dense(x, w, b, lora, lora_scale, lora_dropout, rng_for(slot))
+
     ap = lp["attn"]
     x = rms_norm(h, lp["input_norm"], config.rms_norm_eps)
-    q = dense(x, ap["wq"], ap.get("bq"), lget("attn", "wq"), lora_scale).reshape(b_, s, nq, hd)
-    k = dense(x, ap["wk"], ap.get("bk"), lget("attn", "wk"), lora_scale).reshape(b_, s, nkv, hd)
-    v = dense(x, ap["wv"], ap.get("bv"), lget("attn", "wv"), lora_scale).reshape(b_, s, nkv, hd)
+    q = dn(x, ap["wq"], ap.get("bq"), lget("attn", "wq"), 0).reshape(b_, s, nq, hd)
+    k = dn(x, ap["wk"], ap.get("bk"), lget("attn", "wk"), 1).reshape(b_, s, nkv, hd)
+    v = dn(x, ap["wv"], ap.get("bv"), lget("attn", "wv"), 2).reshape(b_, s, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn_out = attention(q, k, v, bias, config)
-    attn_out = dense(attn_out, ap["wo"], None, lget("attn", "wo"), lora_scale)
+    attn_out = dn(attn_out, ap["wo"], None, lget("attn", "wo"), 3)
     h = h + attn_out
 
     mp = lp["mlp"]
     x = rms_norm(h, lp["post_attn_norm"], config.rms_norm_eps)
-    gate = dense(x, mp["wg"], None, lget("mlp", "wg"), lora_scale)
-    up = dense(x, mp["wu"], None, lget("mlp", "wu"), lora_scale)
-    mlp_out = dense(jax.nn.silu(gate) * up, mp["wd"], None, lget("mlp", "wd"), lora_scale)
+    gate = dn(x, mp["wg"], None, lget("mlp", "wg"), 4)
+    up = dn(x, mp["wu"], None, lget("mlp", "wu"), 5)
+    mlp_out = dn(jax.nn.silu(gate) * up, mp["wd"], None, lget("mlp", "wd"), 6)
     return h + mlp_out
 
 
 def forward_hidden(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
                    config: ModelConfig, lora: Optional[dict] = None,
-                   lora_scale: float = 0.0) -> jax.Array:
+                   lora_scale: float = 0.0, lora_dropout: float = 0.0,
+                   dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Token embeddings → final-norm hidden states [B, S, H].
 
     Equivalent surface to the reference ``LlamaBiModel.forward(...).
@@ -251,30 +275,45 @@ def forward_hidden(params: dict, input_ids: jax.Array, attention_mask: jax.Array
 
     layer_params = params["layers"]
     lora_layers = lora.get("layers") if lora is not None else None
+    use_dropout = (lora_layers is not None and lora_dropout > 0.0
+                   and dropout_rng is not None)
+    layer_rngs = (jax.random.split(dropout_rng, config.num_hidden_layers)
+                  if use_dropout else None)
 
     def body(carry, xs):
+        llp = rng = None
         if lora_layers is None:
             lp = xs
-            llp = None
+        elif use_dropout:
+            lp, llp, rng = xs
         else:
             lp, llp = xs
-        out = _layer_forward(carry, lp, bias, cos, sin, config, llp, lora_scale)
+        out = _layer_forward(carry, lp, bias, cos, sin, config, llp,
+                             lora_scale, lora_dropout if use_dropout else 0.0,
+                             rng)
         return out, None
 
     if config.remat:
         body = jax.checkpoint(body, prevent_cse=False)
 
-    xs = layer_params if lora_layers is None else (layer_params, lora_layers)
+    if lora_layers is None:
+        xs = layer_params
+    elif use_dropout:
+        xs = (layer_params, lora_layers, layer_rngs)
+    else:
+        xs = (layer_params, lora_layers)
     h, _ = jax.lax.scan(body, h, xs)
     return rms_norm(h, params["final_norm"], config.rms_norm_eps)
 
 
 def forward_logits(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
                    config: ModelConfig, lora: Optional[dict] = None,
-                   lora_scale: float = 0.0) -> jax.Array:
+                   lora_scale: float = 0.0, lora_dropout: float = 0.0,
+                   dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """LM-head logits [B, S, V] (reference ``LlamaBiForMNTP``,
     bidirectional_llama.py:191-229). Tied embeddings are honored."""
-    h = forward_hidden(params, input_ids, attention_mask, config, lora, lora_scale)
+    h = forward_hidden(params, input_ids, attention_mask, config, lora,
+                       lora_scale, lora_dropout, dropout_rng)
     if config.tie_word_embeddings or "lm_head" not in params:
         w = params["embed_tokens"].T.astype(h.dtype)
         lora_head = None

@@ -46,7 +46,8 @@ class T5Sparse(LLM2Retriever):
     def hidden_size(self) -> int:
         return self.config.d_model
 
-    def encode_pure(self, params, lora, input_ids, attention_mask):
+    def encode_pure(self, params, lora, input_ids, attention_mask,
+                    dropout_rng=None):
         assert lora is None, "T5 LoRA not wired yet"
         logits = t5.forward_logits(params, input_ids, attention_mask,
                                    decoder_input_ids=input_ids,

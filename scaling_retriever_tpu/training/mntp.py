@@ -138,11 +138,13 @@ class MNTPModel:
         self.lora_config = lora_config
         self.T = 1.0
 
-    def loss_forward(self, params, lora, batch) -> dict:
+    def loss_forward(self, params, lora, batch, dropout_rng=None) -> dict:
         scale = self.lora_config.scaling if (lora is not None and self.lora_config) else 0.0
+        drop = (self.lora_config.lora_dropout
+                if (lora is not None and self.lora_config) else 0.0)
         logits = llama.forward_logits(params, batch["input_ids"],
                                       batch["attention_mask"], self.config,
-                                      lora, scale)
+                                      lora, scale, drop, dropout_rng)
         loss, acc = mntp_shift_loss(logits, batch["labels"])
         return {"rank": loss, "accuracy": acc}
 
@@ -199,6 +201,7 @@ def main(argv=None):
     p.add_argument("--learning_rate", type=float, default=5e-5)
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=int, default=None)
+    p.add_argument("--lora_dropout", type=float, default=0.05)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fsdp", action="store_true")
     p.add_argument("--logging_steps", type=int, default=50)
@@ -222,6 +225,7 @@ def main(argv=None):
     # reference initialize_peft uses lora_alpha = 2*r (run_mntp.py:78-116)
     lora_alpha = ns.lora_alpha if ns.lora_alpha else 2 * ns.lora_r
     lora_config = LoraConfig(r=ns.lora_r, lora_alpha=lora_alpha,
+                             lora_dropout=ns.lora_dropout,
                              base_model_name_or_path=ns.model_name_or_path,
                              base_model_class="LlamaBiForMNTP")
     lora = init_lora_params(config, lora_config, jax.random.PRNGKey(ns.seed))
@@ -243,6 +247,7 @@ def main(argv=None):
     args = LLM2RetrieverTrainingArgs(
         model_name_or_path=ns.model_name_or_path, output_dir=ns.output_dir,
         task_names=("rank",), task_weights=(1.0,),
+        lora_dropout=ns.lora_dropout,
         learning_rate=ns.learning_rate, max_steps=ns.stop_after_n_steps,
         per_device_train_batch_size=ns.per_device_train_batch_size,
         gradient_accumulation_steps=ns.gradient_accumulation_steps,

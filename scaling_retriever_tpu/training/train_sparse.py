@@ -58,7 +58,7 @@ def add_args(p: argparse.ArgumentParser, pooling: str) -> None:
     p.add_argument("--no_lora", dest="lora", action="store_false")
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=int, default=32)
-    p.add_argument("--lora_dropout", type=float, default=0.0)
+    p.add_argument("--lora_dropout", type=float, default=0.1)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--warmup_ratio", type=float, default=0.04)

@@ -64,7 +64,7 @@ class LLM2RetrieverTrainingArgs:
     lora: bool = True
     lora_r: int = 16
     lora_alpha: int = 32
-    lora_dropout: float = 0.0
+    lora_dropout: float = 0.1   # reference sparse_trainer.py:311
     lora_modules_to_save: Optional[Sequence[str]] = None
     # optimization
     learning_rate: float = 1e-4
@@ -92,7 +92,9 @@ class LLM2RetrieverTrainingArgs:
     save_steps: Optional[int] = None
     save_total_limit: int = 1
     seed: int = 42
-    resume_from_checkpoint: Optional[str] = None
+    resume_from_checkpoint: Optional[str] = None   # path or "auto"
+    wandb_project_name: Optional[str] = None       # reference train_sparse.py:185-190
+    run_name: Optional[str] = None
 
     @property
     def ln_to_weight(self) -> dict:
@@ -101,6 +103,20 @@ class LLM2RetrieverTrainingArgs:
     @property
     def reg_horizon(self) -> int:
         return self.reg_T if self.reg_T else max(1, self.max_steps // 3)
+
+
+def get_last_checkpoint(output_dir: str) -> Optional[str]:
+    """Latest checkpoint-N dir, or None (reference run_mntp.py:529-547
+    auto-detects the last checkpoint for resumption)."""
+    if not os.path.isdir(output_dir):
+        return None
+    ckpts = [d for d in os.listdir(output_dir)
+             if d.startswith("checkpoint-")
+             and os.path.isdir(os.path.join(output_dir, d))]
+    if not ckpts:
+        return None
+    latest = max(ckpts, key=lambda d: int(d.split("-")[1]))
+    return os.path.join(output_dir, latest)
 
 
 def linear_warmup_decay(lr: float, warmup: int, total: int):
@@ -164,8 +180,13 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _combined_loss(self, trainable, batch, step):
+        dropout_rng = None
+        if self.use_lora and getattr(self.args, "lora_dropout", 0.0) > 0.0:
+            dropout_rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.args.seed), step)
         if self.use_lora:
-            task_losses = self.encoder.loss_forward(self.params, trainable, batch)
+            task_losses = self.encoder.loss_forward(self.params, trainable,
+                                                    batch, dropout_rng)
         else:
             task_losses = self.encoder.loss_forward(trainable, None, batch)
         args = self.args
@@ -199,8 +220,22 @@ class Trainer:
     def train(self) -> dict:
         args = self.args
         os.makedirs(args.output_dir, exist_ok=True)
-        if args.resume_from_checkpoint:
+        if args.resume_from_checkpoint == "auto":
+            last = get_last_checkpoint(args.output_dir)
+            if last:
+                print(f"resuming from {last}", flush=True)
+                self.load_state(last)
+        elif args.resume_from_checkpoint:
             self.load_state(args.resume_from_checkpoint)
+        self._wandb = None
+        if args.wandb_project_name:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=args.wandb_project_name,
+                                         name=args.run_name, resume="allow")
+            except ImportError:
+                print("wandb not installed; logging to jsonl only", flush=True)
 
         accum: dict[str, float] = {}
         n_acc = 0
@@ -242,6 +277,8 @@ class Trainer:
         print(json.dumps(entry), flush=True)
         with open(self._log_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
+        if getattr(self, "_wandb", None) is not None:
+            self._wandb.log(metrics, step=self.step)
 
     # -- checkpointing -------------------------------------------------------
 

@@ -91,3 +91,16 @@ def test_jsonl_pairs_and_sharding(setup, tmp_path):
         for q, docs in run.items():
             merged.setdefault(q, {}).update(docs)
     assert sum(len(v) for v in merged.values()) == 16
+
+
+def test_hybrid_rerank(setup, tmp_path):
+    root, model_dir, adapter_dir, corpus, queries, run_path = setup
+    out_dir = str(tmp_path / "hybrid")
+    run = eval_reranker.main([
+        "--run_path", run_path, "--query_path", queries,
+        "--corpus_path", corpus, "--output_dir", out_dir,
+        "--rerank_type", "hybrid_retriever", "--peft_model_name", adapter_dir,
+        "--query_max_length", "16", "--doc_max_length", "24",
+        "--eval_batch_size", "8", "--data_source", "msmarco",
+    ])
+    assert len(run) == 4 and all(len(v) == 5 for v in run.values())

@@ -178,3 +178,28 @@ def test_train_sparse_cli(model_dir, train_files, tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
     assert os.path.exists(os.path.join(out, "trainer_log.jsonl"))
+
+
+def test_lora_dropout_stochastic_in_training(model_dir, tmp_path):
+    """With lora_dropout>0 the loss is rng-dependent across steps on a fixed
+    batch; encode without an rng stays deterministic (peft semantics)."""
+    import jax
+
+    args = _args(tmp_path, max_steps=1, logging_steps=1, lora_dropout=0.3)
+    enc = LlamaBiSparse.build(model_dir, args)
+    # fresh LoRA has B=0 (no-op); randomize so the branch is live
+    enc.lora = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(7), x.shape),
+        enc.lora)
+    batch = _fake_batches(1, 2, 2, 8)[0]
+    jb = {k: ({kk: jnp.asarray(vv) for kk, vv in v.items()}
+              if isinstance(v, dict) else jnp.asarray(v))
+          for k, v in batch.items()}
+    l1 = enc.loss_forward(enc.params, enc.lora, jb,
+                          jax.random.PRNGKey(0))["rank"]
+    l2 = enc.loss_forward(enc.params, enc.lora, jb,
+                          jax.random.PRNGKey(1))["rank"]
+    l3 = enc.loss_forward(enc.params, enc.lora, jb, None)["rank"]
+    l4 = enc.loss_forward(enc.params, enc.lora, jb, None)["rank"]
+    assert float(l1) != float(l2)
+    assert float(l3) == float(l4)
