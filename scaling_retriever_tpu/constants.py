@@ -5,7 +5,7 @@ matched by substring so relocated data still resolves, and unknown paths
 fall back to the ``data_source`` CLI flag.
 """
 
-supported_models = ["t5", "llama", "bert", "qwen2"]
+supported_models = ["t5", "llama", "bert", "qwen2", "mistral"]
 
 corpus_datasource = {
     "msmarco": "msmarco",

@@ -64,7 +64,9 @@ def _load_model(args):
     if cfg_path and os.path.exists(cfg_path):
         with open(cfg_path) as f:
             model_type = json.load(f).get("model_type", "llama")
-    cls = Qwen2BiDense if model_type == "qwen2" else LlamaBiDense
+    from scaling_retriever_tpu.models.encoder import MistralBiDense
+    cls = {"qwen2": Qwen2BiDense,
+           "mistral": MistralBiDense}.get(model_type, LlamaBiDense)
     if os.path.isdir(model_dir) and os.path.exists(
             os.path.join(model_dir, "adapter_config.json")):
         return cls.load_from_lora(model_dir)

@@ -55,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_metric", default="",
                    help="python-list literal, e.g. \"['mrr_10','recall']\" "
                         "(reference eval_sparse.py:68 uses eval())")
-    p.add_argument("--engine", default="xla", choices=["xla", "cpp", "pallas"])
+    p.add_argument("--engine", default="xla",
+                   choices=["xla", "segsort", "cpp", "pallas"])
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--use_mesh", action="store_true",
@@ -75,7 +76,9 @@ def _load_model(args):
         model_type = cfg.get("model_type", "llama")
         if "peft_type" in cfg:
             model_type = "llama"
-    cls = Qwen2BiSparse if model_type == "qwen2" else LlamaBiSparse
+    from scaling_retriever_tpu.models.encoder import MistralBiSparse
+    cls = {"qwen2": Qwen2BiSparse,
+           "mistral": MistralBiSparse}.get(model_type, LlamaBiSparse)
     if os.path.isdir(model_dir) and os.path.exists(
             os.path.join(model_dir, "adapter_config.json")):
         return cls.load_from_lora(model_dir)

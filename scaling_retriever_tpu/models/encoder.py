@@ -272,6 +272,16 @@ class Qwen2BiDense(DecoderOnlyBiDense):
     BASE_MODEL_CLASS = "Qwen2BiModel"
 
 
+class MistralBiSparse(DecoderOnlyBiSparse):
+    MODEL_TYPE = "mistral"
+    BASE_MODEL_CLASS = "MistralBiForMNTP"
+
+
+class MistralBiDense(DecoderOnlyBiDense):
+    MODEL_TYPE = "mistral"
+    BASE_MODEL_CLASS = "MistralBiModel"
+
+
 def _variant(base, loss_type, name):
     cls = type(name, (base,), {"LOSS_TYPE": loss_type})
     cls.__module__ = __name__
@@ -315,3 +325,11 @@ MODEL_REGISTRY = {
     ("qwen2", "dense", "kldiv"): Qwen2BiDenseForKLDiv,
     ("qwen2", "dense", "nce_kldiv"): Qwen2BiDenseForNCE_KLDiv,
 }
+
+for _loss in ("nce", "margin_mse", "kldiv", "nce_kldiv"):
+    MODEL_REGISTRY[("mistral", "sparse", _loss)] = (
+        MistralBiSparse if _loss == "nce"
+        else _variant(MistralBiSparse, _loss, f"MistralBiSparseFor{_loss}"))
+    MODEL_REGISTRY[("mistral", "dense", _loss)] = (
+        MistralBiDense if _loss == "nce"
+        else _variant(MistralBiDense, _loss, f"MistralBiDenseFor{_loss}"))

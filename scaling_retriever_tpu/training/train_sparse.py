@@ -42,7 +42,7 @@ COLLATOR_BY_LOSS = {
 
 def add_args(p: argparse.ArgumentParser, pooling: str) -> None:
     p.add_argument("--model_name_or_path", required=True)
-    p.add_argument("--model_type", default="llama", choices=["llama", "qwen2"])
+    p.add_argument("--model_type", default="llama", choices=["llama", "qwen2", "mistral"])
     p.add_argument("--loss_type", default="nce",
                    choices=["nce", "margin_mse", "kldiv", "nce_kldiv"])
     p.add_argument("--corpus_path", required=True)

@@ -147,3 +147,13 @@ def test_store_embs_and_dense_retrieval(tmp_path):
     want = q @ vectors.T
     for qi, (db_ids, scores) in enumerate(results):
         np.testing.assert_allclose(scores, np.sort(want[qi])[::-1][:7], atol=1e-4)
+
+
+def test_sparse_segsort_engine_driver(sparse_setup, tmp_path):
+    model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
+    retriever = SparseRetrieval(model, index_dir, out_dir=str(tmp_path / "seg"),
+                                topk=10, engine="segsort", query_tile=4)
+    retriever._seg.min_budget = 256
+    retriever._seg.T = 16
+    run, _ = retriever.retrieve(q_batches)
+    _check_run(run, q_batches, q_dense, docs_dense, k=10)
