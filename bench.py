@@ -65,7 +65,10 @@ def main() -> None:
              + jax.lax.broadcasted_iota(jnp.uint32, (n_pad, K), 1))
         h = i * jnp.uint32(2654435761)
         h = h ^ (h >> 15)
-        terms = (h % jnp.uint32(VOCAB)).astype(jnp.int32)
+        # mask + conditional subtract instead of % (integer modulo is
+        # pathologically slow on this VPU)
+        t = (h & jnp.uint32(131071)).astype(jnp.int32)
+        terms = jnp.where(t >= VOCAB, t - VOCAB, t)
         vals = (0.1 + 2.9 * ((h >> 8) & 0xFFFF).astype(jnp.float32) / 65536.0
                 ).astype(jnp.bfloat16)
         return terms, vals

@@ -138,6 +138,9 @@ class SegsortEngine:
         self.T = query_terms_budget
         self.min_budget = min_budget
         self.n_docs = index.nb_docs()
+        # jax default int is 32-bit: flat CSR positions must fit (MSMARCO's
+        # 1.13B postings do; shard the corpus over chips beyond ~2.1B)
+        assert index.nnz < 2 ** 31, "shard the index: nnz exceeds int32"
         packed = pack_postings(index.offsets, index.doc_rows, index.values)
         self.packed = jnp.asarray(packed)
         self.offsets = jnp.asarray(index.offsets.astype(np.int64))

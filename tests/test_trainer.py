@@ -203,3 +203,25 @@ def test_lora_dropout_stochastic_in_training(model_dir, tmp_path):
     l4 = enc.loss_forward(enc.params, enc.lora, jb, None)["rank"]
     assert float(l1) != float(l2)
     assert float(l3) == float(l4)
+
+
+def test_auto_resume_after_crash(model_dir, tmp_path):
+    """Failure recovery (SURVEY.md §5.3): a run that dies mid-training is
+    resumed from the latest checkpoint with resume_from_checkpoint='auto'."""
+    batches = ListLoader(_fake_batches(1, 2, 2, 8) * 10)
+    args = _args(tmp_path, max_steps=6, save_steps=2, logging_steps=1)
+    enc = LlamaBiSparse.build(model_dir, args)
+    tr = Trainer(enc, args, batches)
+    # simulate a crash: run only a few steps by lowering max_steps
+    tr.args = _args(tmp_path, max_steps=3, save_steps=2, logging_steps=1)
+    tr.train()
+    assert tr.step == 3  # died after step 3; checkpoint-2 exists
+    assert os.path.isdir(os.path.join(str(tmp_path), "checkpoint-2"))
+
+    args2 = _args(tmp_path, max_steps=6, save_steps=2, logging_steps=1,
+                  resume_from_checkpoint="auto")
+    enc2 = LlamaBiSparse.build(model_dir, args2)
+    tr2 = Trainer(enc2, args2, batches)
+    tr2.train()
+    assert tr2.step == 6
+    assert os.path.isdir(os.path.join(str(tmp_path), "checkpoint-6"))
