@@ -100,6 +100,9 @@ def write_doc_embeds(args) -> None:
     collator = LlamaDenseCollectionCollator(tokenizer, args.doc_max_length)
     loader = DataLoader(d_collection, args.eval_batch_size, collator,
                         rank=args.rank, world_size=args.world_size)
+    from scaling_retriever_tpu.data.prefetch import PrefetchLoader
+
+    loader = PrefetchLoader(loader)
     store_embs(model, loader, local_rank=args.rank, out_dir=args.doc_embed_dir,
                world_size=args.world_size)
 

@@ -118,6 +118,9 @@ def sparse_index(args) -> None:
         index_dir = index_dir.rstrip("/") + f"_{args.rank}"
     loader = DataLoader(d_collection, args.eval_batch_size, collator,
                         rank=args.rank, world_size=args.world_size)
+    from scaling_retriever_tpu.data.prefetch import PrefetchLoader
+
+    loader = PrefetchLoader(loader)
     SparseIndexer(model, index_dir, dim_voc=model.vocab_size,
                   rank=args.rank, world_size=args.world_size).index(loader)
 

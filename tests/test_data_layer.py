@@ -136,3 +136,26 @@ def test_query_dataset(data_files, tmp_path):
     qpath.write_text("q1\thello world\nq2\tfoo bar\n")
     ds = MSMARCOQueryDataset(str(qpath))
     assert ds[0] == ("q1", "hello world") and len(ds) == 2
+
+
+def test_prefetch_loader(tok, data_files):
+    from scaling_retriever_tpu.data.prefetch import PrefetchLoader
+
+    corpus, *_ = data_files
+    ds = CollectionDataset(corpus, data_source="msmarco")
+    coll = LlamaSparseCollectionCollator(tok, 16)
+    base = DataLoader(ds, 4, coll)
+    pre = PrefetchLoader(base, depth=2)
+    assert len(pre) == len(base)
+    got = [b["ids"] for b in pre]
+    want = [b["ids"] for b in base]
+    assert got == want
+    # errors in the producer propagate
+    class Boom:
+        def __len__(self): return 3
+        def __iter__(self):
+            yield {"x": 1}
+            raise RuntimeError("boom")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchLoader(Boom()))
