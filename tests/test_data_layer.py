@@ -159,3 +159,21 @@ def test_prefetch_loader(tok, data_files):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="boom"):
         list(PrefetchLoader(Boom()))
+
+
+def test_distributed_weighted_average_psum():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from scaling_retriever_tpu.utils.utils import distributed_weighted_average
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    vals = jnp.arange(8, dtype=jnp.float32)
+    weights = jnp.arange(1, 9, dtype=jnp.float32)
+    fn = jax.shard_map(
+        lambda v, w: distributed_weighted_average(v[0], w[0], "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P())
+    got = float(jnp.asarray(fn(vals, weights)).reshape(()))
+    want = float((vals * weights).sum() / weights.sum())
+    assert abs(got - want) < 1e-5
