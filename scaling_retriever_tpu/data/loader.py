@@ -9,7 +9,7 @@ batches out; optional contiguous or strided sharding mirrors
 from __future__ import annotations
 
 import random
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Sequence
 
 
 class DataLoader:

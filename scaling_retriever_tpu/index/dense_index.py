@@ -16,8 +16,7 @@ from __future__ import annotations
 import functools
 import json
 import os
-import pickle
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

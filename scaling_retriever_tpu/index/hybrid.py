@@ -15,7 +15,6 @@ import json
 import os
 from typing import Iterable, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

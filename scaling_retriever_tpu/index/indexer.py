@@ -42,12 +42,16 @@ class SparseIndexer:
         l0_sum = 0.0
         n_batches = 0
 
+        from scaling_retriever_tpu.utils.profiling import profile_span
+
         for batch in collection_loader:
             ids = batch["ids"]
-            reps = np.asarray(
-                self.model.encode(batch["input_ids"], batch["attention_mask"]),
-                np.float32,
-            )  # [bz, vocab]
+            with profile_span("corpus_encode_batch"):
+                reps = np.asarray(
+                    self.model.encode(batch["input_ids"],
+                                      batch["attention_mask"]),
+                    np.float32,
+                )  # [bz, vocab]
             n_batches += 1
             if self.compute_stats:
                 l0_sum += float((reps != 0).sum(axis=-1).mean())

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

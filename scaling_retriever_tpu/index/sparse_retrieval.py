@@ -104,8 +104,11 @@ class SparseRetrieval:
                  threshold: float = 0.0, return_run: bool = True) -> tuple[dict, dict]:
         """Run retrieval; writes run.json + q_stats.json when out_dir is set
         (reference indexer.py:530-540)."""
+        from scaling_retriever_tpu.utils.profiling import profile_span
+
         topk = topk or self.topk
-        qids, q_dense = self._encode_queries(q_loader)
+        with profile_span("query_encode"):
+            qids, q_dense = self._encode_queries(q_loader)
         nq = len(qids)
         stats = {"L0_q": float((q_dense != 0).sum(axis=-1).mean()) if nq else 0.0}
 
@@ -117,7 +120,8 @@ class SparseRetrieval:
                 pad = tile - q_tile.shape[0]
                 if pad:
                     q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
-                scores, rows = self._seg.retrieve_tile(q_tile, topk)
+                with profile_span("segsort_retrieve_tile"):
+                    scores, rows = self._seg.retrieve_tile(q_tile, topk)
                 for local_qi in range(min(tile, nq - start)):
                     qid = qids[start + local_qi]
                     for row, sc in zip(rows[local_qi], scores[local_qi]):
@@ -138,13 +142,14 @@ class SparseRetrieval:
                 if pad:
                     q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
                 q_t = jnp.asarray(q_tile.T)  # [V, tile]
-                if self._sharded_fn is not None:
-                    scores, rows = self._sharded_fn(self.terms, self.vals,
-                                                    self.row_ids, q_t)
-                else:
-                    scores, rows = retrieve_doc_major(
-                        self.terms, self.vals, q_t, k=min(topk, self.n_docs),
-                        block=self.block)
+                with profile_span("doc_major_retrieve_tile"):
+                    if self._sharded_fn is not None:
+                        scores, rows = self._sharded_fn(self.terms, self.vals,
+                                                        self.row_ids, q_t)
+                    else:
+                        scores, rows = retrieve_doc_major(
+                            self.terms, self.vals, q_t,
+                            k=min(topk, self.n_docs), block=self.block)
                 scores = np.asarray(scores, np.float32)
                 rows = np.asarray(rows)
                 for local_qi in range(min(tile, nq - start)):

@@ -13,12 +13,10 @@ as ops/sparse_scoring.py with K = L and no padding, so it reuses that kernel.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from typing import Iterable, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

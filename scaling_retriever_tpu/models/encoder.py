@@ -18,13 +18,11 @@ loss-specific subclasses, with classmethods ``build`` / ``load`` /
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from scaling_retriever_tpu.models import llama, losses
 from scaling_retriever_tpu.models.config import ModelConfig

@@ -25,8 +25,6 @@ Design notes (TPU/XLA):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import math
 from typing import Any, Optional
 

@@ -21,8 +21,6 @@ all-gathers. ``loss_scale`` (trainer config) can reproduce the reference's
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -13,10 +13,7 @@ wired yet — T5Sparse.load supports full checkpoints and merged adapters only.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 
 from scaling_retriever_tpu.models import t5
 from scaling_retriever_tpu.models.encoder import LLM2Retriever, _resolve_model_dir

@@ -43,8 +43,6 @@ def shard_batch(batch, mesh: Mesh):
     rep = replicated(mesh)
 
     def place(x):
-        import numpy as _np
-
         if not hasattr(x, "shape") or x.ndim == 0:
             return x
         n_data = mesh.shape["data"]

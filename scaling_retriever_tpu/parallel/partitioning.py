@@ -13,8 +13,6 @@ shard the largest non-layer axis that divides the mesh size. Small tensors
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -19,10 +19,9 @@ vs labels[:, 1:]). Components:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
-from typing import Iterator, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -32,15 +32,15 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from scaling_retriever_tpu.models import losses as losses_lib
 from scaling_retriever_tpu.parallel.mesh import make_mesh, shard_batch
+from scaling_retriever_tpu.utils.profiling import profile_span
 from scaling_retriever_tpu.parallel.partitioning import (
     apply_shardings, fsdp_shardings, replicated_shardings,
 )
@@ -249,9 +249,10 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
                 # λ ramp advances per micro step, like the reference scheduler
                 micro_step = self.step * args.gradient_accumulation_steps + 1
-                self.trainable, self.opt_state, metrics = self._jit_step(
-                    self.trainable, self.opt_state, batch,
-                    jnp.asarray(micro_step, jnp.int32))
+                with profile_span("train_step"):
+                    self.trainable, self.opt_state, metrics = self._jit_step(
+                        self.trainable, self.opt_state, batch,
+                        jnp.asarray(micro_step, jnp.int32))
                 self.step += 1
                 for k, v in metrics.items():
                     accum[k] = accum.get(k, 0.0) + float(v)

@@ -7,9 +7,6 @@ single JAX process over a mesh, so the equivalents are either trivial
 
 from __future__ import annotations
 
-import os
-from typing import Iterable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
