@@ -105,6 +105,13 @@ def segsort_retrieve(packed: jax.Array, offsets: jax.Array,
     nq, T = q_terms.shape
     sentinel = jnp.int32(n_docs)  # per-query sentinel row
 
+    # order query terms by term id: slot order is semantically irrelevant,
+    # but ascending term ids make the posting fetch indices monotone per
+    # query — sequential HBM access for the big gather
+    q_terms, neg_vals = jax.lax.sort(
+        (q_terms, -q_vals), dimension=1, num_keys=1)
+    q_vals = -neg_vals
+
     lens = (offsets[q_terms + 1] - offsets[q_terms]) * (q_vals > 0)  # [nq, T]
     starts_flat = offsets[q_terms].astype(jnp.int32)                 # [nq, T]
     cum = jnp.cumsum(lens, axis=1).astype(jnp.int32)                 # [nq, T]
