@@ -14,10 +14,7 @@ hand-computed tests). Semantics follow trec_eval:
   * ``r_cap_k``: capped recall |rel ∩ top-k| / min(k, |rel|)
     (beir's evaluate_custom "r_cap", used by evaluate_beir).
 
-Queries present in the qrel but missing from the run score 0 only if
-included; like pytrec_eval, evaluation iterates over run ∩ qrel queries.
-If ``pytrec_eval`` is importable, ``use_pytrec_eval()`` switches the
-implementations for bit-exact parity runs.
+Like pytrec_eval, evaluation iterates over run ∩ qrel queries.
 """
 
 from __future__ import annotations
@@ -210,3 +207,49 @@ def evaluate_beir(out_dir: str, qrels: dict) -> dict:
     with open(os.path.join(out_dir, "perf.json"), "w") as f:
         json.dump(res, f, indent=4)
     return res
+
+
+# ---------------------------------------------------------------------------
+# SQuAD-style answer metrics (reference metrics.py:153-193 leftovers, kept
+# for wiki/QA evaluations)
+# ---------------------------------------------------------------------------
+
+def normalize_answer(s: str) -> str:
+    import re
+    import string
+
+    def remove_articles(text):
+        return re.sub(r"\b(a|an|the)\b", " ", text)
+
+    def white_space_fix(text):
+        return " ".join(text.split())
+
+    def remove_punc(text):
+        exclude = set(string.punctuation)
+        return "".join(ch for ch in text if ch not in exclude)
+
+    return white_space_fix(remove_articles(remove_punc(s.lower())))
+
+
+def exact_match_score(prediction: str, ground_truth: str) -> bool:
+    return normalize_answer(prediction) == normalize_answer(ground_truth)
+
+
+def ems(prediction: str, ground_truths) -> bool:
+    return max(exact_match_score(prediction, gt) for gt in ground_truths)
+
+
+def f1(prediction: str, ground_truth: str) -> float:
+    pred_tokens = normalize_answer(prediction).split()
+    gt_tokens = normalize_answer(ground_truth).split()
+    common = Counter(pred_tokens) & Counter(gt_tokens)
+    num_same = sum(common.values())
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(pred_tokens)
+    recall = num_same / len(gt_tokens)
+    return 2 * precision * recall / (precision + recall)
+
+
+def f1_with_gts(prediction: str, ground_truths) -> float:
+    return max(f1(prediction, gt) for gt in ground_truths)

@@ -99,3 +99,14 @@ def test_load_and_evaluate_trec_discipline(tmp_path):
                                        for q, ds in QREL.items()}))
     res = metrics.load_and_evaluate(str(binary_path), str(run_path), "mrr_10")
     assert res["mrr_10"] == pytest.approx((1 / 2 + 1 / 3 + 1) / 3)
+
+
+def test_squad_em_f1():
+    assert metrics.exact_match_score("The Cat!", "cat")
+    assert metrics.ems("dog", ["cat", "a Dog"])
+    assert metrics.f1("the black cat", "black cat") == pytest.approx(1.0)
+    got = metrics.f1("black dog", "black cat")
+    assert got == pytest.approx(0.5)
+    assert metrics.f1_with_gts("black dog", ["black cat", "white dog"]) == \
+        pytest.approx(0.5)
+    assert metrics.f1("xyz", "abc") == 0.0
