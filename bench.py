@@ -5,9 +5,11 @@ The reference's headline number is MSMARCO-Dev sparse retrieval in ~15 min on
 6,980 dev queries → ~7.8 QPS (BASELINE.md). This benchmark runs the same
 workload shape on one TPU chip: 8,841,823 docs (MSMARCO passage count),
 1.13B postings (K=128/doc), vocab 128,256 (Llama-3), L0_q=48 query terms,
-top-1000, via the segsort engine (ops/segsort_scoring.py): posting expansion
-→ packed row-gather → one 16.7M-pair sort → bounded segmented sum → top-k,
-32-query tiles. Work is proportional to matched postings, exact.
+top-1000, via the segsort engine with the Pallas contiguous-DMA posting
+fetch (ops/segsort_scoring.py + ops/pallas_fetch.py): posting expansion →
+scalar-prefetched chunk DMAs → per-query sort → bounded segmented sum →
+top-k, 16-query tiles. Work is proportional to matched postings; results are
+bit-equal to the gather path and the brute-force oracle.
 
 Methodology (see PERFORMANCE.md):
   * timed calls are forced to completion with host reads
@@ -31,7 +33,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from scaling_retriever_tpu.ops.segsort_scoring import segsort_retrieve  # noqa: E402
+from scaling_retriever_tpu.ops.pallas_fetch import CHUNK  # noqa: E402
+from scaling_retriever_tpu.ops.segsort_scoring import segsort_retrieve_dma  # noqa: E402
 
 BASELINE_QPS = 7.8      # BASELINE.md: ~15 min for MSMARCO Dev on >32 CPUs
 
@@ -40,10 +43,10 @@ K = 128                 # postings per doc (SPLADE-like L0_d)
 VOCAB = 128_256         # Llama-3 vocab
 L0_Q = 48               # query nonzeros
 TOPK = 1000
-TILE = 32               # queries per device call
+TILE = 16               # queries per device call
 T_BUDGET = 64           # query term budget
 P_BUDGET = 1 << 19      # matched-postings budget per query
-N_TILES_TIMED = 6       # 192 queries timed
+N_TILES_TIMED = 8       # 128 queries timed
 
 
 def log(msg: str) -> None:
@@ -57,20 +60,21 @@ def main() -> None:
     log(f"generating packed CSR ({nnz} postings) on device ...")
 
     @jax.jit
-    def gen_index():
-        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz, 1), 0)
+    def gen_rows():
+        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz + CHUNK, 1), 0)[:, 0]
         h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
-        rows = (h[:, 0] & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
-        rows = jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
-        vbits = jnp.full((nnz,), np.float32(1.0).view(np.int32), jnp.int32)
-        return jnp.stack([rows, vbits], axis=1)
+        rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+        return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
 
     t0 = time.perf_counter()
-    packed = gen_index()
-    _ = int(packed[0, 0])
+    rows_flat = gen_rows()
+    _ = int(rows_flat[0])
+    valbits_flat = jnp.full((nnz + CHUNK,), np.float32(1.0).view(np.int32),
+                            jnp.int32)
+    _ = int(valbits_flat[0])
     offsets = jnp.arange(VOCAB + 1, dtype=jnp.int32) * per_term
     log(f"index on device in {time.perf_counter() - t0:.0f}s "
-        f"({packed.nbytes / 1e9:.1f} GB)")
+        f"({(rows_flat.nbytes + valbits_flat.nbytes) / 1e9:.1f} GB)")
 
     rng = np.random.default_rng(0)
     tiles = []
@@ -80,16 +84,20 @@ def main() -> None:
         qv[:, L0_Q:] = 0.0
         tiles.append((jnp.asarray(qt), jnp.asarray(qv)))
 
+    jobs_per_query = P_BUDGET // CHUNK + 2 * T_BUDGET
+
     def run_one(qt, qv):
-        s, r, tot = segsort_retrieve(packed, offsets, qt, qv, k=TOPK,
-                                     p_budget=P_BUDGET, n_docs=N_DOCS)
+        s, r, tot = segsort_retrieve_dma(rows_flat, valbits_flat, offsets,
+                                         qt, qv, k=TOPK,
+                                         jobs_per_query=jobs_per_query,
+                                         n_docs=N_DOCS)
         return float(s[0, 0]), int(r[0, 0]), int(jnp.max(tot))
 
     log("compiling ...")
     t0 = time.perf_counter()
     chk = run_one(*tiles[0])
     log(f"compile+first: {time.perf_counter() - t0:.1f}s; "
-        f"max matched {chk[2]}/{P_BUDGET}")
+        f"max matched {chk[2]}")
 
     t0 = time.perf_counter()
     checks = [run_one(qt, qv) for qt, qv in tiles[1:]]

@@ -1,0 +1,133 @@
+"""Pallas posting-fetch kernel: contiguous DMA instead of row-gather.
+
+The segsort engine's posting fetch is a 16.7M-row gather per 32-query tile
+(~110 ms at XLA's ~0.15 G rows/s issue-bound gather). But the fetched rows
+are NOT random: each (query, term) pair reads one contiguous CSR slice. This
+kernel converts the gather into scalar-prefetched fixed-size DMAs —
+HBM-bandwidth streaming instead of per-row gather issue.
+
+TPU constraints shape the layout:
+  * dynamic DMA offsets must be provably tile-aligned (1024 int32 elements
+    for 1-D arrays), so job sources are rounded down to ALIGN postings and
+    destinations are fixed chunk slots (job j writes slot j);
+  * Mosaic scalar arithmetic is int32, and MSMARCO has 1.13B postings — an
+    interleaved (row, val) flat array would need element offsets up to 2.26B
+    (> 2^31), so rows and value-bits live in two separate flat arrays and
+    each job issues two DMAs.
+
+Each (query, term) slice lands at a known chunk-slot position with a known
+head offset; a T-step scan (same pattern as the posting expansion) marks the
+valid positions and attaches query weights. Padding costs ≤ (ALIGN + CHUNK)
+per term — ~30% extra sort input at MSMARCO stats, traded for a ~100x
+cheaper fetch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 1024   # postings per DMA job (tile-aligned int32 run)
+ALIGN = 1024   # source alignment in postings (int32 1-D tiling)
+
+
+def _fetch_kernel(src_ref, rows_hbm, vals_hbm, rows_out, vals_out, sem):
+    j = pl.program_id(0)
+    src = pl.multiple_of(src_ref[j], ALIGN)
+    dst = pl.multiple_of(j * CHUNK, CHUNK)
+    d1 = pltpu.make_async_copy(rows_hbm.at[pl.ds(src, CHUNK)],
+                               rows_out.at[pl.ds(dst, CHUNK)], sem.at[0])
+    d2 = pltpu.make_async_copy(vals_hbm.at[pl.ds(src, CHUNK)],
+                               vals_out.at[pl.ds(dst, CHUNK)], sem.at[1])
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("jobs_per_query", "interpret"))
+def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
+                       q_terms: jax.Array, offsets: jax.Array,
+                       q_vals: jax.Array, jobs_per_query: int,
+                       interpret: bool = False
+                       ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """rows_flat/valbits_flat [nnz] int32; q_terms/q_vals [nq, T];
+    offsets [V+1]. Returns (rows, vals, qw, valid) each [nq, Pp] with
+    Pp = jobs_per_query * CHUNK; invalid positions carry qw=0."""
+    nq, T = q_terms.shape
+    nnz = rows_flat.shape[0]
+    p_pad = jobs_per_query * CHUNK
+
+    lens = ((offsets[q_terms + 1] - offsets[q_terms])
+            * (q_vals > 0)).astype(jnp.int32)                       # [nq, T]
+    starts = offsets[q_terms].astype(jnp.int32)
+    src_al = (starts // ALIGN) * ALIGN
+    head = starts - src_al                                           # [0, ALIGN)
+    n_jobs = jnp.where(lens > 0, -(-(head + lens) // CHUNK), 0)
+    cum_jobs = jnp.cumsum(n_jobs, axis=1)                            # [nq, T]
+    prev_jobs = jnp.concatenate(
+        [jnp.zeros((nq, 1), jnp.int32), cum_jobs[:, :-1]], axis=1)
+
+    slot = jnp.arange(jobs_per_query, dtype=jnp.int32)
+
+    def job_body(src_j, xs):
+        sa, pj, cj = xs                                              # [nq]
+        within = (slot[None] >= pj[:, None]) & (slot[None] < cj[:, None])
+        src_j = jnp.where(within,
+                          sa[:, None] + (slot[None] - pj[:, None]) * CHUNK,
+                          src_j)
+        return src_j, None
+
+    src_j, _ = jax.lax.scan(
+        job_body, jnp.zeros((nq, jobs_per_query), jnp.int32),
+        (src_al.T, prev_jobs.T, cum_jobs.T))
+    # callers must pad the flat arrays by CHUNK (SegsortEngine does) so that
+    # every aligned window [src_al, src_al + CHUNK) is in bounds; the clamp
+    # below only guards idle job slots (src 0) and malformed offsets
+    max_src = ((nnz - CHUNK) // ALIGN) * ALIGN
+    src_flat = jnp.clip(src_j.reshape(-1), 0, max_src)
+
+    total_jobs = nq * jobs_per_query
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total_jobs,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+    )
+    rows_o, vals_o = pl.pallas_call(
+        _fetch_kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((total_jobs * CHUNK,), jnp.int32),
+                   jax.ShapeDtypeStruct((total_jobs * CHUNK,), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(src_flat, rows_flat, valbits_flat)
+    rows = rows_o.reshape(nq, p_pad)
+    vals = jax.lax.bitcast_convert_type(vals_o, jnp.float32).reshape(nq, p_pad)
+
+    # validity + query weights over the padded layout: term t of query q is
+    # valid at positions [prev_jobs*CHUNK + head, + len)
+    pos = jnp.arange(p_pad, dtype=jnp.int32)
+    region_start = prev_jobs * CHUNK + head                          # [nq, T]
+    region_end = region_start + lens
+
+    def mask_body(carry, xs):
+        qw, valid = carry
+        rs, re, qv_t = xs                                            # [nq]
+        m = (pos[None] >= rs[:, None]) & (pos[None] < re[:, None])
+        qw = jnp.where(m, qv_t[:, None], qw)
+        valid = valid | m
+        return (qw, valid), None
+
+    (qw, valid), _ = jax.lax.scan(
+        mask_body,
+        (jnp.zeros((nq, p_pad), jnp.float32), jnp.zeros((nq, p_pad), bool)),
+        (region_start.T, region_end.T, q_vals.T))
+    return rows, vals, qw, valid

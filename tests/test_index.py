@@ -252,3 +252,30 @@ def test_segsort_widens_term_budget(corpus_index):
     for i in range(2):
         np.testing.assert_allclose(scores[i], np.sort(want[i])[::-1][:5],
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_segsort_dma_engine_matches_gather(corpus_index):
+    """Pallas contiguous-DMA fetch (interpret mode on CPU) is bit-equal to
+    the row-gather segsort path."""
+    from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    nq, k = 4, 9
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = RNG.choice(V, size=10, replace=False)
+        q[i, terms] = RNG.uniform(0.1, 2.0, size=10)
+
+    g = SegsortEngine(idx, topk=k, query_terms_budget=16, min_budget=2048,
+                      fetch="gather")
+    d = SegsortEngine(idx, topk=k, query_terms_budget=16, min_budget=2048,
+                      fetch="dma")
+    sg, rg = g.retrieve_tile(q, k)
+    sd, rd = d.retrieve_tile(q, k)
+    np.testing.assert_allclose(sd, sg, atol=1e-6)
+    want = q @ dense.T
+    for i in range(nq):
+        for r, s in zip(rd[i], sd[i]):
+            if s > 0 and r < idx.nb_docs():
+                np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
