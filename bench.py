@@ -84,7 +84,7 @@ def main() -> None:
         qv[:, L0_Q:] = 0.0
         tiles.append((jnp.asarray(qt), jnp.asarray(qv)))
 
-    jobs_per_query = P_BUDGET // CHUNK + 2 * T_BUDGET
+    jobs_per_query = 512  # tight bound: max matched ~424k postings -> ~480 chunk jobs
 
     def run_one(qt, qv):
         s, r, tot = segsort_retrieve_dma(rows_flat, valbits_flat, offsets,

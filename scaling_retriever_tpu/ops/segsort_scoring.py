@@ -280,10 +280,19 @@ class SegsortEngine:
             p_budget *= 2
         k = min(topk, self.n_docs)
         if self.fetch == "dma":
-            from scaling_retriever_tpu.ops.pallas_fetch import CHUNK
+            from scaling_retriever_tpu.ops.pallas_fetch import ALIGN, CHUNK
 
             interpret = jax.default_backend() == "cpu"
-            jobs_per_query = p_budget // CHUNK + 2 * q_terms.shape[1]
+            # exact per-tile job need from host-side offsets (a job-table
+            # overflow would silently drop postings): sum of per-term
+            # ceil((head + len) / CHUNK), rounded up to a multiple of 64 to
+            # bound recompiles
+            starts = self._host_offsets[q_terms]
+            lens = self._host_lens[q_terms] * (q_vals > 0)
+            heads = starts % ALIGN
+            need = int(np.max(np.sum(-(-(heads + lens) // CHUNK) * (lens > 0),
+                                     axis=1)))
+            jobs_per_query = max(64, -(-need // 64) * 64)
             scores, rows, total = segsort_retrieve_dma(
                 self.rows_flat, self.valbits_flat, self.offsets,
                 jnp.asarray(q_terms), jnp.asarray(q_vals), k=k,
