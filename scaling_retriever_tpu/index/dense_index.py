@@ -147,6 +147,9 @@ class DenseFlatIndexer(DenseIndexer):
         return out
 
     def serialize(self, index_dir: str):
+        """Vectors persist as fp16 (reference stores faiss f32 `index.dpr`,
+        indexer.py:145-158); scores after a round-trip shift by ~1e-3
+        relative — re-encode for bit-exact reproduction runs."""
         os.makedirs(index_dir, exist_ok=True)
         docs = (np.concatenate(self._vectors, axis=0) if self._vectors
                 else np.zeros((0, self.vector_sz or 0), np.float32))
