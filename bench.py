@@ -8,7 +8,7 @@ workload shape on one TPU chip: 8,841,823 docs (MSMARCO passage count),
 top-1000, via the segsort engine with the Pallas contiguous-DMA posting
 fetch (ops/segsort_scoring.py + ops/pallas_fetch.py): posting expansion →
 scalar-prefetched chunk DMAs → per-query sort → bounded segmented sum →
-top-k, 64-query tiles. Work is proportional to matched postings; results are
+top-k, 256-query tiles. Work is proportional to matched postings; results are
 bit-equal to the gather path and the brute-force oracle.
 
 Methodology (see PERFORMANCE.md):
@@ -43,7 +43,7 @@ K = 128                 # postings per doc (SPLADE-like L0_d)
 VOCAB = 128_256         # Llama-3 vocab
 L0_Q = 48               # query nonzeros
 TOPK = 1000
-TILE = 64               # queries per device call
+TILE = 256              # queries per device call
 T_BUDGET = 64           # query term budget
 P_BUDGET = 1 << 19      # matched-postings budget per query
 N_TILES_TIMED = 6       # 128 queries timed

@@ -74,17 +74,32 @@ def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
 
     slot = jnp.arange(jobs_per_query, dtype=jnp.int32)
 
-    def job_body(src_j, xs):
-        sa, pj, cj = xs                                              # [nq]
+    # The scan also emits per-JOB validity bounds and query weights (tiny
+    # [nq, jobs_per_query] arrays): term t of query q is valid at padded
+    # positions [prev_jobs*CHUNK + head, + len), which each job intersects
+    # with its own [slot*CHUNK, (slot+1)*CHUNK) span. Downstream masking is
+    # then ONE elementwise pass over [nq, Pp] instead of a T-step scan.
+    region_start = prev_jobs * CHUNK + head                          # [nq, T]
+    region_end = region_start + lens
+
+    def job_body(carry, xs):
+        src_j, jv_start, jv_end, j_qv = carry
+        sa, pj, cj, rs, re, qv_t = xs                                # [nq]
         within = (slot[None] >= pj[:, None]) & (slot[None] < cj[:, None])
         src_j = jnp.where(within,
                           sa[:, None] + (slot[None] - pj[:, None]) * CHUNK,
                           src_j)
-        return src_j, None
+        jv_start = jnp.where(within, rs[:, None], jv_start)
+        jv_end = jnp.where(within, re[:, None], jv_end)
+        j_qv = jnp.where(within, qv_t[:, None], j_qv)
+        return (src_j, jv_start, jv_end, j_qv), None
 
-    src_j, _ = jax.lax.scan(
-        job_body, jnp.zeros((nq, jobs_per_query), jnp.int32),
-        (src_al.T, prev_jobs.T, cum_jobs.T))
+    zero_i = jnp.zeros((nq, jobs_per_query), jnp.int32)
+    (src_j, jv_start, jv_end, j_qv), _ = jax.lax.scan(
+        job_body, (zero_i, zero_i, zero_i,
+                   jnp.zeros((nq, jobs_per_query), jnp.float32)),
+        (src_al.T, prev_jobs.T, cum_jobs.T,
+         region_start.T, region_end.T, q_vals.T))
     # callers must pad the flat arrays by CHUNK (SegsortEngine does) so that
     # every aligned window [src_al, src_al + CHUNK) is in bounds; the clamp
     # below only guards idle job slots (src 0) and malformed offsets
@@ -112,22 +127,14 @@ def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
     rows = rows_o.reshape(nq, p_pad)
     vals = jax.lax.bitcast_convert_type(vals_o, jnp.float32).reshape(nq, p_pad)
 
-    # validity + query weights over the padded layout: term t of query q is
-    # valid at positions [prev_jobs*CHUNK + head, + len)
-    pos = jnp.arange(p_pad, dtype=jnp.int32)
-    region_start = prev_jobs * CHUNK + head                          # [nq, T]
-    region_end = region_start + lens
-
-    def mask_body(carry, xs):
-        qw, valid = carry
-        rs, re, qv_t = xs                                            # [nq]
-        m = (pos[None] >= rs[:, None]) & (pos[None] < re[:, None])
-        qw = jnp.where(m, qv_t[:, None], qw)
-        valid = valid | m
-        return (qw, valid), None
-
-    (qw, valid), _ = jax.lax.scan(
-        mask_body,
-        (jnp.zeros((nq, p_pad), jnp.float32), jnp.zeros((nq, p_pad), bool)),
-        (region_start.T, region_end.T, q_vals.T))
+    # one elementwise masking pass using the per-job bounds
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (jobs_per_query, CHUNK), 0)
+           * CHUNK
+           + jax.lax.broadcasted_iota(jnp.int32, (jobs_per_query, CHUNK), 1)
+           )[None]                                                   # [1, J, C]
+    valid = ((pos >= jv_start[:, :, None]) & (pos < jv_end[:, :, None])
+             ).reshape(nq, p_pad)
+    qw = jnp.broadcast_to(j_qv[:, :, None],
+                          (nq, jobs_per_query, CHUNK)).reshape(nq, p_pad)
+    qw = jnp.where(valid, qw, 0.0)
     return rows, vals, qw, valid
