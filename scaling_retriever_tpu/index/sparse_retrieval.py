@@ -47,9 +47,15 @@ class SparseRetrieval:
         self._cpp = None
 
         if engine == "segsort":
-            from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+            from scaling_retriever_tpu.ops.segsort_scoring import (
+                SegsortEngine, ShardedSegsortEngine,
+            )
 
-            self._seg = SegsortEngine(self.index, topk=topk)
+            if mesh is not None and mesh.devices.size > 1:
+                self._seg = ShardedSegsortEngine(
+                    self.index, devices=list(mesh.devices.flat), topk=topk)
+            else:
+                self._seg = SegsortEngine(self.index, topk=topk)
             self.n_docs = self.index.nb_docs()
         elif engine in ("xla", "pallas"):
             terms_np, vals_np = self.index.to_doc_major()

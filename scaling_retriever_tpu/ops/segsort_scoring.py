@@ -308,3 +308,57 @@ class SegsortEngine:
         scores = np.asarray(scores, np.float32)
         rows = np.asarray(rows)
         return scores, rows
+
+
+class ShardedSegsortEngine:
+    """Doc-sharded segsort over multiple devices.
+
+    Each device owns the CSR index of its corpus shard (the natural layout:
+    chips index their own document shards, as in the reference's per-rank
+    ``index_{rank}`` builds, eval_sparse.py:98-102); a query tile runs on
+    every device and the per-shard top-k lists merge on the host. Replaces
+    the reference's offline h5py merge + single-rank retrieval restriction.
+    """
+
+    def __init__(self, index, devices=None, topk: int = 1000,
+                 query_terms_budget: int = 64, min_budget: int = 1 << 17):
+        import jax as _jax
+
+        devices = list(devices if devices is not None else _jax.devices())
+        self.devices = devices
+        self.topk = topk
+        n = index.nb_docs()
+        per = -(-n // len(devices))
+        self.shards = []
+        self.row_offsets = []
+        for d, device in enumerate(devices):
+            lo, hi = d * per, min((d + 1) * per, n)
+            sel = (index.doc_rows >= lo) & (index.doc_rows < hi)
+            rows = index.doc_rows[sel] - lo
+            term_of = np.repeat(np.arange(index.dim, dtype=np.int64),
+                                np.diff(index.offsets))[sel]
+            shard_idx = type(index).from_triples(
+                rows, term_of, index.values[sel],
+                index.doc_ids[lo:hi], index.dim)
+            with _jax.default_device(device):
+                eng = SegsortEngine(shard_idx, topk=topk,
+                                    query_terms_budget=query_terms_budget,
+                                    min_budget=min_budget)
+            self.shards.append(eng)
+            self.row_offsets.append(lo)
+        self.n_docs = n
+
+    def retrieve_tile(self, q_dense: np.ndarray, topk=None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        topk = topk or self.topk
+        all_scores, all_rows = [], []
+        for eng, off in zip(self.shards, self.row_offsets):
+            s, r = eng.retrieve_tile(q_dense, topk)
+            valid = np.isfinite(s) & (r < eng.n_docs)
+            all_scores.append(np.where(valid, s, -np.inf))
+            all_rows.append(np.where(valid, r + off, self.n_docs))
+        scores = np.concatenate(all_scores, axis=1)
+        rows = np.concatenate(all_rows, axis=1)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :topk]
+        return (np.take_along_axis(scores, order, axis=1),
+                np.take_along_axis(rows, order, axis=1))

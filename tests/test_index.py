@@ -279,3 +279,35 @@ def test_segsort_dma_engine_matches_gather(corpus_index):
         for r, s in zip(rd[i], sd[i]):
             if s > 0 and r < idx.nb_docs():
                 np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_segsort_engine(corpus_index):
+    """Doc-sharded segsort over 4 CPU devices equals the single-device
+    engine and brute force."""
+    import jax
+    from scaling_retriever_tpu.ops.segsort_scoring import (
+        SegsortEngine, ShardedSegsortEngine,
+    )
+
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    nq, k = 4, 9
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = RNG.choice(V, size=10, replace=False)
+        q[i, terms] = RNG.uniform(0.1, 2.0, size=10)
+
+    single = SegsortEngine(idx, topk=k, query_terms_budget=16, min_budget=256)
+    sharded = ShardedSegsortEngine(idx, devices=jax.devices()[:4], topk=k,
+                                   query_terms_budget=16, min_budget=256)
+    s1, r1 = single.retrieve_tile(q, k)
+    s2, r2 = sharded.retrieve_tile(q, k)
+    want = q @ dense.T
+    for i in range(nq):
+        pos = np.sort(want[i][want[i] > 0])[::-1][:k]
+        got = s2[i][np.isfinite(s2[i]) & (s2[i] > 0)]
+        np.testing.assert_allclose(got, pos[:len(got)], atol=1e-4, rtol=1e-4)
+        assert len(got) == min(k, len(pos))
+        for r, s in zip(r2[i], s2[i]):
+            if np.isfinite(s) and s > 0 and r < idx.nb_docs():
+                np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)

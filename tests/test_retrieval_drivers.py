@@ -157,3 +157,17 @@ def test_sparse_segsort_engine_driver(sparse_setup, tmp_path):
     retriever._seg.T = 16
     run, _ = retriever.retrieve(q_batches)
     _check_run(run, q_batches, q_dense, docs_dense, k=10)
+
+
+def test_sparse_segsort_sharded_driver(sparse_setup, tmp_path):
+    model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("data",))
+    retriever = SparseRetrieval(model, index_dir, out_dir=str(tmp_path / "ss"),
+                                topk=10, engine="segsort", query_tile=4,
+                                mesh=mesh)
+    retriever._seg.topk = 10
+    for eng in getattr(retriever._seg, "shards", []):
+        eng.min_budget = 256
+        eng.T = 16
+    run, _ = retriever.retrieve(q_batches)
+    _check_run(run, q_batches, q_dense, docs_dense, k=10)
