@@ -128,20 +128,26 @@ def _attn(q, k, v, bias):
     return out.reshape(b, s, h * d)
 
 
-def _proj(x, w):
-    return jnp.dot(x, w, preferred_element_type=x.dtype)
+def _proj(x, w, lora=None, lora_scale: float = 0.0):
+    """x @ w with an optional LoRA branch (peft semantics, as llama.dense)."""
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if lora is not None:
+        y = y + jnp.dot(jnp.dot(x, lora["a"].astype(x.dtype)),
+                        lora["b"].astype(x.dtype)) * lora_scale
+    return y
 
 
-def _ffn(x, lp, config: T5Config):
+def _ffn(x, lp, config: T5Config, lget, scale):
     if config.is_gated:
-        h = config.act(_proj(x, lp["wi_0"])) * _proj(x, lp["wi_1"])
+        h = (config.act(_proj(x, lp["wi_0"], lget("wi_0"), scale))
+             * _proj(x, lp["wi_1"], lget("wi_1"), scale))
     else:
-        h = config.act(_proj(x, lp["wi"]))
-    return _proj(h, lp["wo"])
+        h = config.act(_proj(x, lp["wi"], lget("wi"), scale))
+    return _proj(h, lp["wo"], lget("wo"), scale)
 
 
 def _stack_forward(h, layers, config: T5Config, self_bias, cross=None,
-                   cross_bias=None):
+                   cross_bias=None, lora_layers=None, lora_scale: float = 0.0):
     """Scan over encoder (cross=None) or decoder blocks."""
     nh, dk = config.num_heads, config.d_kv
 
@@ -149,29 +155,40 @@ def _stack_forward(h, layers, config: T5Config, self_bias, cross=None,
         b, s, _ = x.shape
         return x.reshape(b, s, nh, dk)
 
-    def body(carry, lp):
+    def body(carry, xs):
         h = carry
+        if lora_layers is None:
+            lp = xs
+            llp = {}
+        else:
+            lp, llp = xs
+        lget = llp.get
         x = t5_layer_norm(h, lp["self_ln"], config.layer_norm_epsilon)
-        att = _attn(split(_proj(x, lp["self_q"])), split(_proj(x, lp["self_k"])),
-                    split(_proj(x, lp["self_v"])), self_bias)
-        h = h + _proj(att, lp["self_o"])
+        att = _attn(split(_proj(x, lp["self_q"], lget("self_q"), lora_scale)),
+                    split(_proj(x, lp["self_k"], lget("self_k"), lora_scale)),
+                    split(_proj(x, lp["self_v"], lget("self_v"), lora_scale)),
+                    self_bias)
+        h = h + _proj(att, lp["self_o"], lget("self_o"), lora_scale)
         if cross is not None:
             x = t5_layer_norm(h, lp["cross_ln"], config.layer_norm_epsilon)
             ckv = cross
-            att = _attn(split(_proj(x, lp["cross_q"])),
-                        split(_proj(ckv, lp["cross_k"])),
-                        split(_proj(ckv, lp["cross_v"])), cross_bias)
-            h = h + _proj(att, lp["cross_o"])
+            att = _attn(split(_proj(x, lp["cross_q"], lget("cross_q"), lora_scale)),
+                        split(_proj(ckv, lp["cross_k"], lget("cross_k"), lora_scale)),
+                        split(_proj(ckv, lp["cross_v"], lget("cross_v"), lora_scale)),
+                        cross_bias)
+            h = h + _proj(att, lp["cross_o"], lget("cross_o"), lora_scale)
         x = t5_layer_norm(h, lp["ffn_ln"], config.layer_norm_epsilon)
-        h = h + _ffn(x, lp, config)
+        h = h + _ffn(x, lp, config, lget, lora_scale)
         return h, None
 
-    h, _ = jax.lax.scan(body, h, layers)
+    xs = layers if lora_layers is None else (layers, lora_layers)
+    h, _ = jax.lax.scan(body, h, xs)
     return h
 
 
 def encode(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
-           config: T5Config) -> jax.Array:
+           config: T5Config, lora: Optional[dict] = None,
+           lora_scale: float = 0.0) -> jax.Array:
     """Encoder stack → [B, S, d_model]."""
     h = params["shared"][input_ids].astype(config.dtype)
     s = input_ids.shape[1]
@@ -179,7 +196,9 @@ def encode(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
                          config.relative_attention_num_buckets,
                          config.relative_attention_max_distance)
     pad = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, MASK_VALUE)
-    h = _stack_forward(h, params["encoder"]["layers"], config, bias + pad)
+    enc_lora = lora.get("encoder", {}).get("layers") if lora else None
+    h = _stack_forward(h, params["encoder"]["layers"], config, bias + pad,
+                       lora_layers=enc_lora, lora_scale=lora_scale)
     return t5_layer_norm(h, params["encoder"]["final_ln"],
                          config.layer_norm_epsilon)
 
@@ -187,10 +206,12 @@ def encode(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
 def forward_logits(params: dict, input_ids: jax.Array, attention_mask: jax.Array,
                    decoder_input_ids: jax.Array,
                    decoder_attention_mask: Optional[jax.Array] = None,
-                   config: Optional[T5Config] = None) -> jax.Array:
+                   config: Optional[T5Config] = None,
+                   lora: Optional[dict] = None,
+                   lora_scale: float = 0.0) -> jax.Array:
     """Full enc-dec forward → decoder lm logits [B, S_dec, V]
     (HF T5ForConditionalGeneration semantics)."""
-    enc = encode(params, input_ids, attention_mask, config)
+    enc = encode(params, input_ids, attention_mask, config, lora, lora_scale)
     b, s_dec = decoder_input_ids.shape
     s_enc = input_ids.shape[1]
     if decoder_attention_mask is None:
@@ -206,8 +227,10 @@ def forward_logits(params: dict, input_ids: jax.Array, attention_mask: jax.Array
     cross_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
                            0.0, MASK_VALUE) + jnp.zeros((1, 1, s_dec, s_enc))
 
+    dec_lora = lora.get("decoder", {}).get("layers") if lora else None
     h = _stack_forward(h, params["decoder"]["layers"], config, self_bias,
-                       cross=enc, cross_bias=cross_bias)
+                       cross=enc, cross_bias=cross_bias,
+                       lora_layers=dec_lora, lora_scale=lora_scale)
     h = t5_layer_norm(h, params["decoder"]["final_ln"], config.layer_norm_epsilon)
 
     if config.tie_word_embeddings:
@@ -293,3 +316,71 @@ def load_pretrained(model_dir: str, **overrides) -> tuple[dict, T5Config]:
 
     config = T5Config.from_pretrained(model_dir, **overrides)
     return params_from_hf_tensors(load_hf_tensors(model_dir), config), config
+
+
+# ---------------------------------------------------------------------------
+# LoRA for T5 (reference target modules q/v/o/k/wi_0/wi_1/wo,
+# llm_encoder.py:158)
+# ---------------------------------------------------------------------------
+
+T5_TARGET_MODULES = ("q", "v", "o", "k", "wi_0", "wi_1", "wo")
+
+# peft module name -> stacked-layer param names it applies to
+_T5_TARGET_MAP = {
+    "q": ("self_q", "cross_q"), "k": ("self_k", "cross_k"),
+    "v": ("self_v", "cross_v"), "o": ("self_o", "cross_o"),
+    "wi": ("wi",), "wi_0": ("wi_0",), "wi_1": ("wi_1",), "wo": ("wo",),
+}
+
+
+def init_lora_params(config: T5Config, r: int, rng: jax.Array,
+                     target_modules=T5_TARGET_MODULES,
+                     dtype=jnp.float32) -> dict:
+    """peft-style init (A kaiming-uniform, B zero) for every target module in
+    both stacks (cross-attention included, as peft matches by module name)."""
+    import math as _math
+
+    dm, dkv, dff, nh = config.d_model, config.d_kv, config.d_ff, config.num_heads
+    inner = nh * dkv
+    shapes = {
+        "self_q": (dm, inner), "self_k": (dm, inner), "self_v": (dm, inner),
+        "self_o": (inner, dm),
+        "cross_q": (dm, inner), "cross_k": (dm, inner), "cross_v": (dm, inner),
+        "cross_o": (inner, dm),
+        "wi": (dm, dff), "wi_0": (dm, dff), "wi_1": (dm, dff), "wo": (dff, dm),
+    }
+    gated = config.is_gated
+    out: dict = {"encoder": {"layers": {}}, "decoder": {"layers": {}}}
+    keys = iter(jax.random.split(rng, 64))
+    for mod in target_modules:
+        for name in _T5_TARGET_MAP[mod]:
+            if name.startswith("wi") and ((name == "wi") == gated):
+                continue  # wi exists only ungated; wi_0/wi_1 only gated
+            for side, nl in (("encoder", config.num_layers),
+                             ("decoder", config.num_decoder_layers)):
+                if side == "encoder" and name.startswith("cross"):
+                    continue
+                fan_in, fan_out = shapes[name]
+                bound = 1.0 / _math.sqrt(fan_in)
+                a = jax.random.uniform(next(keys), (nl, fan_in, r),
+                                       jnp.float32, -bound, bound)
+                out[side]["layers"][name] = {
+                    "a": a.astype(dtype),
+                    "b": jnp.zeros((nl, r, fan_out), dtype),
+                }
+    return out
+
+
+def merge_lora(params: dict, lora: dict, scaling: float) -> dict:
+    """Fold T5 LoRA factors into the base weights."""
+    merged = {k: v for k, v in params.items()}
+    for side in ("encoder", "decoder"):
+        layers = dict(params[side]["layers"])
+        for name, fac in lora.get(side, {}).get("layers", {}).items():
+            w = layers[name]
+            delta = jnp.einsum("lir,lro->lio", fac["a"].astype(jnp.float32),
+                               fac["b"].astype(jnp.float32)) * scaling
+            layers[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+        merged[side] = dict(params[side])
+        merged[side]["layers"] = layers
+    return merged

@@ -7,8 +7,9 @@ quirk, llm_encoder.py:167-168), then per-token ``log1p(relu)·mask`` max-pool
 — note the T5 head pools per token, unlike the decoder-only head's
 max-then-log order (llm_encoder.py:170 vs :193).
 
-LoRA for T5 (target modules q/v/o/k/wi_0/wi_1/wo, llm_encoder.py:158) is not
-wired yet — T5Sparse.load supports full checkpoints and merged adapters only.
+LoRA for T5 (target modules q/v/o/k/wi_0/wi_1/wo, llm_encoder.py:158) is a
+functional factor pytree over both stacks (cross-attention included), merged
+with ``t5.merge_lora``; peft-format adapter file interop is a round-2 item.
 """
 
 from __future__ import annotations
@@ -45,11 +46,13 @@ class T5Sparse(LLM2Retriever):
 
     def encode_pure(self, params, lora, input_ids, attention_mask,
                     dropout_rng=None):
-        assert lora is None, "T5 LoRA not wired yet"
+        scale = (self.lora_config.scaling
+                 if (lora is not None and self.lora_config) else 0.0)
         logits = t5.forward_logits(params, input_ids, attention_mask,
                                    decoder_input_ids=input_ids,
                                    decoder_attention_mask=attention_mask,
-                                   config=self.config)
+                                   config=self.config, lora=lora,
+                                   lora_scale=scale)
         scale = self.config.d_model >= 2048
         return sparse_pool_per_token(logits, attention_mask,
                                      self.config.d_model, scale)
@@ -57,11 +60,30 @@ class T5Sparse(LLM2Retriever):
     @classmethod
     def build(cls, model_name_or_path: str, args, config=None, rng=None,
               **overrides):
+        import jax as _jax
+
+        from scaling_retriever_tpu.models.lora import LoraConfig
+
         params, cfg = t5.load_pretrained(_resolve_model_dir(model_name_or_path),
                                          **overrides)
         if getattr(args, "lora", False):
-            raise NotImplementedError("T5 LoRA training is not wired yet")
+            lora_config = LoraConfig(
+                r=args.lora_r, lora_alpha=args.lora_alpha,
+                lora_dropout=getattr(args, "lora_dropout", 0.0),
+                target_modules=t5.T5_TARGET_MODULES,
+                base_model_name_or_path=model_name_or_path,
+                base_model_class="T5ForConditionalGeneration")
+            rng = rng if rng is not None else _jax.random.PRNGKey(0)
+            lora = t5.init_lora_params(cfg, args.lora_r, rng)
+            return cls(params, cfg, lora, lora_config)
         return cls(params, cfg)
+
+    def merge_and_unload(self):
+        if self.lora is None:
+            return self
+        merged = t5.merge_lora(self.params, self.lora,
+                               self.lora_config.scaling)
+        return type(self)(merged, self.config)
 
     @classmethod
     def load(cls, model_name_or_path: str, lora_name_or_path=None,

@@ -80,3 +80,35 @@ def test_t5_sparse_encode_matches_reference_formula(tmp_path):
     got = np.asarray(enc.encode(ids, mask))
     np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
     assert got.shape == (2, 128)
+
+
+def test_t5_lora_apply_and_merge(tmp_path):
+    """Unmerged LoRA forward == merged weights; zero-B LoRA == base model."""
+    import jax
+
+    model, hf_cfg = _tiny_t5()
+    model.save_pretrained(tmp_path / "t5l")
+
+    class Args:
+        lora, lora_r, lora_alpha, lora_dropout = True, 4, 8, 0.0
+
+    enc = T5Sparse.build(str(tmp_path / "t5l"), Args())
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 128, (2, 7))
+    mask = np.ones((2, 7), np.int64)
+
+    base = T5Sparse.load(str(tmp_path / "t5l"))
+    # fresh LoRA (B=0) is a no-op
+    np.testing.assert_allclose(np.asarray(enc.encode(ids, mask)),
+                               np.asarray(base.encode(ids, mask)), atol=1e-6)
+    # randomize B: unmerged forward must equal merged weights
+    enc.lora = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(3), x.shape),
+        enc.lora)
+    enc._encode_jit = jax.jit(enc.encode_pure)
+    unmerged = np.asarray(enc.encode(ids, mask))
+    merged = enc.merge_and_unload()
+    np.testing.assert_allclose(np.asarray(merged.encode(ids, mask)), unmerged,
+                               atol=2e-4, rtol=2e-4)
+    # and it actually changed the function
+    assert np.abs(unmerged - np.asarray(base.encode(ids, mask))).max() > 1e-4
