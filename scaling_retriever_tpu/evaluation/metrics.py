@@ -150,10 +150,12 @@ def mrr_k(run: dict, qrel: dict, k: int, agg: bool = True):
 
 
 def recall_k(run: dict, qrel: dict, k: int, agg: bool = True):
-    """(reference metrics.py:31-42)"""
+    """(reference metrics.py:31-42); agg=False returns per-query values."""
     per_q = evaluate_per_query(run, qrel, "recall")
-    total = sum(d[f"recall_{k}"] for d in per_q.values())
-    return total / max(1, len(per_q))
+    if agg:
+        total = sum(d[f"recall_{k}"] for d in per_q.values())
+        return total / max(1, len(per_q))
+    return per_q
 
 
 def load_and_evaluate(qrel_file_path: str, run_file_path: str, metric: str) -> dict:

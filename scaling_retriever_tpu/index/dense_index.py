@@ -146,15 +146,16 @@ class DenseFlatIndexer(DenseIndexer):
             out.append((db_ids, scores[qi][valid].tolist()))
         return out
 
-    def serialize(self, index_dir: str):
-        """Vectors persist as fp16 (reference stores faiss f32 `index.dpr`,
-        indexer.py:145-158); scores after a round-trip shift by ~1e-3
-        relative — re-encode for bit-exact reproduction runs."""
+    def serialize(self, index_dir: str, store_dtype=np.float32):
+        """Persist vectors; f32 by default for parity with faiss's f32
+        `index.dpr` (reference indexer.py:145-158) — a deserialize round-trip
+        is then lossless. Pass ``store_dtype=np.float16`` to halve disk at a
+        ~1e-3 relative score shift."""
         os.makedirs(index_dir, exist_ok=True)
         docs = (np.concatenate(self._vectors, axis=0) if self._vectors
                 else np.zeros((0, self.vector_sz or 0), np.float32))
         np.savez(os.path.join(index_dir, self.INDEX_FILE),
-                 vectors=docs.astype(np.float16) if docs.dtype != np.float16 else docs,
+                 vectors=docs.astype(store_dtype, copy=False),
                  vector_sz=np.int64(self.vector_sz or docs.shape[1]))
         with open(os.path.join(index_dir, self.META_FILE), "w") as f:
             json.dump(self.index_id_to_db_id, f)

@@ -75,7 +75,8 @@ class LLM2RetrieverTrainingArgs:
     max_grad_norm: float = 1.0
     warmup_ratio: float = 0.0
     warmup_steps: int = 0
-    max_steps: int = 1000
+    max_steps: int = 1000            # optimizer steps (HF semantics); <=0 → epochs
+    num_train_epochs: float = 3.0    # used only when max_steps <= 0
     per_device_train_batch_size: int = 8
     gradient_accumulation_steps: int = 1
     # data
@@ -137,7 +138,11 @@ class Trainer:
         self.args = args
         self.train_loader = train_loader
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
-        self.step = 0
+        self.step = 0        # optimizer (global) steps completed, HF semantics
+        self.micro_step = 0  # loader batches consumed (= scheduler.step calls)
+        self.epoch = 0
+        self._epoch_start_micro = 0   # micro_step value when this epoch began
+        self._resume_skip_batches = 0  # batches to drop to restore position
         self._log_path = os.path.join(args.output_dir, "trainer_log.jsonl")
 
         warmup = args.warmup_steps or int(args.warmup_ratio * args.max_steps)
@@ -240,38 +245,64 @@ class Trainer:
         accum: dict[str, float] = {}
         n_acc = 0
         t0 = time.time()
-        done = False
-        epoch = 0
+        gas = max(args.gradient_accumulation_steps, 1)
+        # micro steps already consumed within the current (partial) epoch,
+        # to fast-forward the loader on resume (reference
+        # sparse_trainer.py:673-689 skips consumed batches)
+        skip_in_epoch = self._resume_skip_batches
+        self._resume_skip_batches = 0
+        done = self._stop(args)
         while not done:
             if hasattr(self.train_loader, "set_epoch"):
-                self.train_loader.set_epoch(epoch)
+                self.train_loader.set_epoch(self.epoch)
+            # on resume, the restored micro_step already includes the batches
+            # about to be skipped, so the epoch began skip_in_epoch ago
+            self._epoch_start_micro = self.micro_step - skip_in_epoch
+            epoch_had_batches = False
             for batch in self.train_loader:
+                epoch_had_batches = True
+                if skip_in_epoch > 0:
+                    # counters were restored from the checkpoint; just drop
+                    # the already-consumed batch to restore loader position
+                    skip_in_epoch -= 1
+                    continue
                 batch = shard_batch(batch, self.mesh)
-                # λ ramp advances per micro step, like the reference scheduler
-                micro_step = self.step * args.gradient_accumulation_steps + 1
+                # λ ramp advances once per micro step, like the reference's
+                # per-training_step scheduler.step() (sparse_trainer.py:385)
+                self.micro_step += 1
                 with profile_span("train_step"):
                     self.trainable, self.opt_state, metrics = self._jit_step(
                         self.trainable, self.opt_state, batch,
-                        jnp.asarray(micro_step, jnp.int32))
-                self.step += 1
+                        jnp.asarray(self.micro_step, jnp.int32))
                 for k, v in metrics.items():
                     accum[k] = accum.get(k, 0.0) + float(v)
                 n_acc += 1
-                if self.step % args.logging_steps == 0:
-                    self._log({k: v / n_acc for k, v in accum.items()},
-                              time.time() - t0)
-                    accum, n_acc = {}, 0
-                if args.save_steps and self.step % args.save_steps == 0:
-                    self.save_checkpoint()
-                if self.step >= args.max_steps:
+                if self.micro_step % gas == 0:
+                    # optimizer-step boundary: MultiSteps applied the update
+                    self.step += 1
+                    if self.step % args.logging_steps == 0:
+                        self._log({k: v / n_acc for k, v in accum.items()},
+                                  time.time() - t0)
+                        accum, n_acc = {}, 0
+                    if args.save_steps and self.step % args.save_steps == 0:
+                        self.save_checkpoint()
+                if self._stop(args):
                     done = True
                     break
-            epoch += 1
-            if epoch > 10000:
-                break
+            if not done:
+                self.epoch += 1
+                if not epoch_had_batches or self._stop(args):
+                    break
         if n_acc:
             self._log({k: v / n_acc for k, v in accum.items()}, time.time() - t0)
-        return {"train_steps": self.step}
+        return {"train_steps": self.step, "micro_steps": self.micro_step}
+
+    def _stop(self, args) -> bool:
+        """max_steps counts OPTIMIZER steps (HF semantics); when max_steps<=0,
+        run num_train_epochs epochs instead."""
+        if args.max_steps and args.max_steps > 0:
+            return self.step >= args.max_steps
+        return self.epoch >= args.num_train_epochs
 
     def _log(self, metrics: dict, elapsed: float) -> None:
         entry = {"step": self.step, "elapsed_sec": round(elapsed, 2), **metrics}
@@ -311,6 +342,9 @@ class Trainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(ckpt_dir, {
                 "step": self.step,
+                "micro_step": self.micro_step,
+                "epoch": self.epoch,
+                "micro_in_epoch": self.micro_step - self._epoch_start_micro,
                 "trainable": jax.device_get(self.trainable),
                 "opt_leaves": opt_leaves,
             })
@@ -337,6 +371,14 @@ class Trainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(ckpt_dir))
         self.step = int(restored["step"])
+        gas = max(self.args.gradient_accumulation_steps, 1)
+        self.micro_step = int(restored.get("micro_step", self.step * gas))
+        self.epoch = int(restored.get("epoch", 0))
+        # data-order fidelity: re-seek the loader to the checkpointed
+        # position within the epoch (reference sparse_trainer.py:673-689);
+        # dropout RNG needs no restore — it is fold_in(seed, micro_step)
+        self._resume_skip_batches = int(
+            restored.get("micro_in_epoch", 0))
         self.trainable = jax.tree_util.tree_map(
             jnp.asarray, restored["trainable"])
         treedef = jax.tree_util.tree_structure(self.tx.init(self.trainable))

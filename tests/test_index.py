@@ -202,6 +202,7 @@ def test_dense_flat_indexer_matches_numpy(tmp_path):
         got_rows = [int(x[3:]) for x in db_ids]
         np.testing.assert_allclose(want[qi][got_rows], scores, atol=1e-4)
 
+    # default f32 storage: round-trip is lossless (faiss index.dpr parity)
     indexer.serialize(str(tmp_path / "di"))
     fresh = DenseFlatIndexer(dtype=jnp.float32, chunk=64)
     fresh.deserialize(str(tmp_path / "di"))
@@ -209,7 +210,15 @@ def test_dense_flat_indexer_matches_numpy(tmp_path):
     r2 = fresh.search_knn(queries[:2], 5)
     for qi, (db_ids, scores) in enumerate(r2):
         order = np.argsort(-want[qi], kind="stable")[:5]
-        # fp16 storage round-trip tolerance
+        np.testing.assert_allclose(scores, want[qi][order], atol=1e-4)
+
+    # opt-in fp16 storage: half disk, ~1e-3 relative score shift
+    indexer.serialize(str(tmp_path / "di16"), store_dtype=np.float16)
+    f16 = DenseFlatIndexer(dtype=jnp.float32, chunk=64)
+    f16.deserialize(str(tmp_path / "di16"))
+    r3 = f16.search_knn(queries[:2], 5)
+    for qi, (db_ids, scores) in enumerate(r3):
+        order = np.argsort(-want[qi], kind="stable")[:5]
         np.testing.assert_allclose(scores, want[qi][order], atol=5e-2)
 
 

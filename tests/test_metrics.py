@@ -40,6 +40,11 @@ def test_recall():
     assert agg["recall_5"] == pytest.approx(1.0)
     # recall at cut 2: q1 gets only d1 (1/2), q2 gets 0, q3 gets 2/2
     assert metrics.recall_at(["d3", "d1"], QREL["q1"], 2) == pytest.approx(0.5)
+    # agg=False returns per-query dicts (reference metrics.py:31-42)
+    per_q5 = metrics.recall_k(RUN, QREL, 5, agg=False)
+    assert per_q5["q1"]["recall_5"] == pytest.approx(1.0)
+    assert metrics.recall_k(RUN, QREL, 5) == pytest.approx(
+        sum(d["recall_5"] for d in per_q5.values()) / 3)
 
 
 def test_ndcg_cut_linear_gain():

@@ -205,6 +205,93 @@ def test_lora_dropout_stochastic_in_training(model_dir, tmp_path):
     assert float(l3) == float(l4)
 
 
+def test_grad_accum_semantics(model_dir, tmp_path):
+    """max_steps counts OPTIMIZER steps and the λ ramp advances once per
+    MICRO step, pinned against the reference's stateful scheduler
+    (sparse_trainer.py:385 calls scheduler.step() per training_step; HF's
+    inner loop counts global steps per gas micro batches)."""
+    gas, max_steps, reg_T = 4, 3, 6
+    args = _args(tmp_path, max_steps=max_steps, logging_steps=1,
+                 gradient_accumulation_steps=gas, reg_T=reg_T,
+                 learning_rate=0.0, lora_dropout=0.0)
+    enc = LlamaBiSparse.build(model_dir, args)
+    batch = _fake_batches(1, 2, 2, 8)
+    # raw reg value, computed BEFORE training (the jitted step donates the
+    # trainable buffers); with lr=0 it stays constant across all micro steps
+    jb = {k: ({kk: jnp.asarray(vv) for kk, vv in v.items()}
+              if isinstance(v, dict) else jnp.asarray(v))
+          for k, v in batch[0].items()}
+    raw = float(enc.loss_forward(enc.params, enc.lora, jb, None)["query_reg"])
+
+    tr = Trainer(enc, args, ListLoader(batch * 20))
+    tr.train()
+    # 3 optimizer steps consumed 12 loader batches — NOT 3 (the round-1 bug)
+    assert tr.step == max_steps
+    assert tr.micro_step == gas * max_steps
+
+    with open(os.path.join(str(tmp_path), "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert [l["step"] for l in logs] == [1, 2, 3]
+
+    # λ trajectory: each logged (per-optimizer-step) query_reg equals
+    # raw * mean(λ over its 4 micro steps) with λ from the reference
+    # scheduler semantics
+    from scaling_retriever_tpu.models.losses import RegWeightScheduler
+    sched = RegWeightScheduler(args.ln_to_weight["query_reg"], reg_T)
+    lambdas = [sched.step() for _ in range(gas * max_steps)]
+    for i, log in enumerate(logs):
+        expect = raw * np.mean(lambdas[i * gas:(i + 1) * gas])
+        np.testing.assert_allclose(log["query_reg"], expect, rtol=1e-4)
+
+
+def test_resume_mid_epoch_identical_batches(model_dir, tmp_path):
+    """Resume replays the exact same batch sequence as an uninterrupted run:
+    loader position within the epoch is restored from the checkpoint
+    (reference sparse_trainer.py:673-689 skips consumed batches)."""
+
+    class ShufflingLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.epoch = 0
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __iter__(self):
+            idx = np.random.default_rng(self.epoch).permutation(
+                len(self.batches))
+            return iter([self.batches[i] for i in idx])
+
+    batches = _fake_batches(5, 2, 2, 8)
+
+    def run(out, stop_after=None, resume=None):
+        # schedule/λ-horizon always built for the full 8-step run; stop_after
+        # simulates a crash partway (LR schedule must not change, as in HF)
+        args = _args(out, max_steps=8, logging_steps=1, save_steps=4,
+                     learning_rate=1e-3, lora_dropout=0.0, reg_T=3,
+                     resume_from_checkpoint=resume)
+        enc = LlamaBiSparse.build(model_dir, args)
+        tr = Trainer(enc, args, ShufflingLoader(batches))
+        if stop_after is not None:
+            import dataclasses as _dc
+            tr.args = _dc.replace(args, max_steps=stop_after)
+        tr.train()
+        with open(os.path.join(str(out), "trainer_log.jsonl")) as f:
+            return tr, [json.loads(l) for l in f]
+
+    tr_a, logs_a = run(tmp_path / "straight")      # 5 + 3: crosses an epoch
+    tr_b, _ = run(tmp_path / "interrupted", stop_after=4)  # dies mid-epoch-0
+    ckpt = os.path.join(str(tmp_path / "interrupted"), "checkpoint-4")
+    assert os.path.isdir(ckpt)
+    tr_c, logs_c = run(tmp_path / "interrupted", resume=ckpt)
+    assert tr_c.step == 8 and tr_c.epoch == 1
+    # steps 5..8 of the resumed run match the uninterrupted run exactly
+    a = {l["step"]: l["loss"] for l in logs_a}
+    c = {l["step"]: l["loss"] for l in logs_c}
+    for s in (5, 6, 7, 8):
+        np.testing.assert_allclose(c[s], a[s], rtol=1e-6)
+
+
 def test_auto_resume_after_crash(model_dir, tmp_path):
     """Failure recovery (SURVEY.md §5.3): a run that dies mid-training is
     resumed from the latest checkpoint with resume_from_checkpoint='auto'."""
