@@ -131,6 +131,12 @@ class LlamaSparseCollatorForMarginMSE(_Base):
 
 LlamaDenseCollatorForMarginMSE = LlamaSparseCollatorForMarginMSE
 
+# T5 collators (reference data_collator.py:25-51, :160-174): identical batch
+# layouts; the reference's decoder_input_ids copy is absorbed into
+# T5Sparse.encode_pure (decoder_input_ids = input_ids), so these are aliases.
+T5SparseCollatorForNCE = LlamaSparseCollatorForNCE
+T5SparseCollatorForMarginMSE = LlamaSparseCollatorForMarginMSE
+
 
 class LlamaSparseCollectionCollator(_Base):
     """(ids, texts) corpus batches (reference data_collator.py:177-190)."""
@@ -147,6 +153,7 @@ class LlamaSparseCollectionCollator(_Base):
 
 LlamaDenseCollectionCollator = LlamaSparseCollectionCollator
 LlamaHybridCollectionCollator = LlamaSparseCollectionCollator
+T5SparseCollectionCollator = LlamaSparseCollectionCollator
 
 
 class HybridRetrieverRerankCollator(_Base):

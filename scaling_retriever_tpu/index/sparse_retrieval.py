@@ -7,10 +7,18 @@ and scored against the HBM-resident doc-major index with a fused gather +
 reduce + top-k (ops/sparse_scoring.py); multi-chip merges ride ICI.
 
 Engines:
-  * "xla"    — default, jit scan over doc blocks (single device or mesh)
-  * "pallas" — VMEM-resident query tile kernel (ops/pallas_scoring.py)
-  * "cpp"    — native C++ CSR engine on host (index/cpp_engine.py), the
-               CPU fallback / parity oracle
+  * "xla"      — default, jit scan over doc blocks (single device or mesh)
+  * "segsort"  — sort-based matched-postings engine with the Pallas
+                 contiguous-DMA fetch (ops/segsort_scoring.py)
+  * "maxscore" — impact-ordered pruned scoring with exact-rescore +
+                 certified fallback (ops/maxscore.py) — the fast path at
+                 power-law MSMARCO scale (PERFORMANCE.md)
+  * "cpp"      — native C++ CSR engine on host (index/cpp_engine.py), the
+                 CPU fallback / parity oracle
+
+(No "pallas" doc-major engine exists: arbitrary row gather has no fast
+Pallas formulation on v5e — tpu.dynamic_gather is intra-vreg only; the
+Pallas win is the contiguous-DMA posting fetch inside segsort.)
 """
 
 from __future__ import annotations
@@ -57,7 +65,12 @@ class SparseRetrieval:
             else:
                 self._seg = SegsortEngine(self.index, topk=topk)
             self.n_docs = self.index.nb_docs()
-        elif engine in ("xla", "pallas"):
+        elif engine == "maxscore":
+            from scaling_retriever_tpu.ops.maxscore import MaxScoreEngine
+
+            self._seg = MaxScoreEngine(self.index, topk=topk)
+            self.n_docs = self.index.nb_docs()
+        elif engine == "xla":
             terms_np, vals_np = self.index.to_doc_major()
             self.n_docs = terms_np.shape[0]
             terms = jnp.asarray(terms_np)
@@ -119,14 +132,14 @@ class SparseRetrieval:
         stats = {"L0_q": float((q_dense != 0).sum(axis=-1).mean()) if nq else 0.0}
 
         res: dict = defaultdict(dict)
-        if self.engine == "segsort":
+        if self.engine in ("segsort", "maxscore"):
             tile = self.query_tile
             for start in range(0, nq, tile):
                 q_tile = q_dense[start:start + tile]
                 pad = tile - q_tile.shape[0]
                 if pad:
                     q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
-                with profile_span("segsort_retrieve_tile"):
+                with profile_span(f"{self.engine}_retrieve_tile"):
                     scores, rows = self._seg.retrieve_tile(q_tile, topk)
                 for local_qi in range(min(tile, nq - start)):
                     qid = qids[start + local_qi]

@@ -44,7 +44,6 @@ class ModelConfig:
     # Compute/runtime knobs (not architecture):
     dtype: Any = jnp.float32          # activation dtype
     param_dtype: Any = jnp.float32    # parameter storage dtype
-    attention_impl: str = "xla"       # "xla" | "einsum" | "pallas"
     remat: bool = False               # rematerialize each layer's activations
 
     @property

@@ -178,6 +178,17 @@ class LLM2Retriever:
         else:
             save_pretrained(self.params, self.config, save_dir)
 
+    def save_trained(self, trainable: dict, out_dir: str,
+                     use_lora: bool = True) -> None:
+        """Persist a trained artifact from the trainer's (possibly donated-
+        away-from-self) trainable pytree: peft adapter or full HF checkpoint
+        (reference sparse_trainer.py:984-1025). Model families with their own
+        adapter layout (T5) override this."""
+        if use_lora and self.lora_config is not None:
+            save_adapter(trainable, self.lora_config, out_dir)
+        else:
+            save_pretrained(trainable, self.config, out_dir)
+
     # -- constructors ---------------------------------------------------------
 
     @classmethod
@@ -305,7 +316,25 @@ Qwen2BiDenseForMarginMSE = _variant(Qwen2BiDense, "margin_mse", "Qwen2BiDenseFor
 Qwen2BiDenseForKLDiv = _variant(Qwen2BiDense, "kldiv", "Qwen2BiDenseForKLDiv")
 Qwen2BiDenseForNCE_KLDiv = _variant(Qwen2BiDense, "nce_kldiv", "Qwen2BiDenseForNCE_KLDiv")
 
-MODEL_REGISTRY = {
+class _Registry(dict):
+    """(model_type, pooling, loss) → encoder class; T5 registers lazily to
+    avoid a circular import (t5_encoder imports this module)."""
+
+    def __missing__(self, key):
+        if key and key[0] == "t5":
+            from scaling_retriever_tpu.models.t5_encoder import (
+                T5Sparse, T5SparseForMarginMSE,
+            )
+
+            # reference train_sparse.py:114-122: T5 = sparse nce/margin_mse
+            self[("t5", "sparse", "nce")] = T5Sparse
+            self[("t5", "sparse", "margin_mse")] = T5SparseForMarginMSE
+            if key in self:
+                return self[key]
+        raise KeyError(key)
+
+
+MODEL_REGISTRY = _Registry({
     ("llama", "sparse", "nce"): LlamaBiSparse,
     ("llama", "sparse", "margin_mse"): LlamaBiSparseForMarginMSE,
     ("llama", "sparse", "kldiv"): LlamaBiSparseForKLDiv,
@@ -322,7 +351,7 @@ MODEL_REGISTRY = {
     ("qwen2", "dense", "margin_mse"): Qwen2BiDenseForMarginMSE,
     ("qwen2", "dense", "kldiv"): Qwen2BiDenseForKLDiv,
     ("qwen2", "dense", "nce_kldiv"): Qwen2BiDenseForNCE_KLDiv,
-}
+})
 
 for _loss in ("nce", "margin_mse", "kldiv", "nce_kldiv"):
     MODEL_REGISTRY[("mistral", "sparse", _loss)] = (

@@ -155,12 +155,10 @@ def _normalize_adapter_key(key: str) -> str:
     return key
 
 
-def load_adapter(adapter_dir: str, model_config: ModelConfig,
-                 dtype=jnp.float32) -> tuple[dict, LoraConfig]:
-    """Read a peft LoRA adapter directory into the stacked factor pytree."""
+def read_adapter_tensors(adapter_dir: str) -> dict:
+    """Raw adapter tensors from safetensors (preferred) or torch .bin."""
     from safetensors import safe_open
 
-    lora_config = LoraConfig.from_adapter_dir(adapter_dir)
     st_path = os.path.join(adapter_dir, "adapter_model.safetensors")
     tensors: dict = {}
     if os.path.exists(st_path):
@@ -172,6 +170,14 @@ def load_adapter(adapter_dir: str, model_config: ModelConfig,
         import torch
         for k, v in torch.load(bin_path, map_location="cpu", weights_only=True).items():
             tensors[k] = jnp.asarray(v.to(torch.float32).numpy())
+    return tensors
+
+
+def load_adapter(adapter_dir: str, model_config: ModelConfig,
+                 dtype=jnp.float32) -> tuple[dict, LoraConfig]:
+    """Read a peft LoRA adapter directory into the stacked factor pytree."""
+    lora_config = LoraConfig.from_adapter_dir(adapter_dir)
+    tensors = read_adapter_tensors(adapter_dir)
 
     nl = model_config.num_hidden_layers
     per_mod: dict = {}

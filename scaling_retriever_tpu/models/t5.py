@@ -371,6 +371,80 @@ def init_lora_params(config: T5Config, r: int, rng: jax.Array,
     return out
 
 
+# peft adapter key layout for T5ForConditionalGeneration:
+#   base_model.model.{encoder|decoder}.block.{i}.layer.{j}.
+#     {SelfAttention|EncDecAttention|DenseReluDense}.{q|k|v|o|wi|wi_0|wi_1|wo}
+#     .lora_{A|B}.weight          (A: [r, in], B: [out, r])
+_T5_ADAPTER_RE = re.compile(
+    r"(encoder|decoder)\.block\.(\d+)\.layer\.(\d+)\."
+    r"(SelfAttention|EncDecAttention|DenseReluDense)\.(\w+)\.lora_(A|B)\.weight$")
+
+_SCOPE_PREFIX = {"SelfAttention": "self_", "EncDecAttention": "cross_",
+                 "DenseReluDense": ""}
+
+
+def load_adapter(adapter_dir: str, config: T5Config, dtype=jnp.float32):
+    """peft T5 LoRA adapter directory → stacked factor pytree + LoraConfig
+    (the T5 analog of lora.load_adapter; drops the round-1 'T5 adapters not
+    supported' restriction, reference llm_encoder.py:156-172 trains exactly
+    these adapters)."""
+    from scaling_retriever_tpu.models.lora import LoraConfig, read_adapter_tensors
+
+    lora_config = LoraConfig.from_adapter_dir(adapter_dir)
+    tensors = read_adapter_tensors(adapter_dir)
+    per: dict = {}
+    for raw_key, val in tensors.items():
+        m = _T5_ADAPTER_RE.search(raw_key)
+        if m is None:
+            continue
+        side, block, scope, mod, ab = (m.group(1), int(m.group(2)),
+                                       m.group(4), m.group(5), m.group(6))
+        name = _SCOPE_PREFIX[scope] + mod
+        slot = per.setdefault((side, name), {"a": {}, "b": {}})
+        slot["a" if ab == "A" else "b"][block] = val.T.astype(dtype)
+
+    out: dict = {"encoder": {"layers": {}}, "decoder": {"layers": {}}}
+    for (side, name), slot in per.items():
+        nl = config.num_layers if side == "encoder" else config.num_decoder_layers
+        assert len(slot["a"]) == nl and len(slot["b"]) == nl, \
+            (side, name, len(slot["a"]), nl)
+        out[side]["layers"][name] = {
+            "a": jnp.stack([slot["a"][i] for i in range(nl)], 0),
+            "b": jnp.stack([slot["b"][i] for i in range(nl)], 0),
+        }
+    return out, lora_config
+
+
+def save_adapter(lora: dict, lora_config, save_dir: str) -> None:
+    """Write a peft-compatible T5 adapter (lora.save_adapter analog)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(save_dir, exist_ok=True)
+    inv_scope = {"self_": ("SelfAttention", 0), "cross_": ("EncDecAttention", 1)}
+    tensors = {}
+    for side in ("encoder", "decoder"):
+        for name, fac in lora.get(side, {}).get("layers", {}).items():
+            if name.startswith(("self_", "cross_")):
+                prefix_key = name[:name.index("_") + 1]
+                scope, layer_idx = inv_scope[prefix_key]
+                mod = name[len(prefix_key):]
+            else:
+                scope = "DenseReluDense"
+                # ffn block index: encoder layer.1, decoder layer.2
+                layer_idx = 1 if side == "encoder" else 2
+                mod = name
+            a = np.asarray(fac["a"], np.float32)
+            b = np.asarray(fac["b"], np.float32)
+            for i in range(a.shape[0]):
+                key = (f"base_model.model.{side}.block.{i}.layer.{layer_idx}."
+                       f"{scope}.{mod}")
+                tensors[f"{key}.lora_A.weight"] = np.ascontiguousarray(a[i].T)
+                tensors[f"{key}.lora_B.weight"] = np.ascontiguousarray(b[i].T)
+    save_file(tensors, os.path.join(save_dir, "adapter_model.safetensors"))
+    with open(os.path.join(save_dir, "adapter_config.json"), "w") as f:
+        json.dump(lora_config.to_adapter_config(), f, indent=2)
+
+
 def merge_lora(params: dict, lora: dict, scaling: float) -> dict:
     """Fold T5 LoRA factors into the base weights."""
     merged = {k: v for k, v in params.items()}

@@ -9,7 +9,9 @@ max-then-log order (llm_encoder.py:170 vs :193).
 
 LoRA for T5 (target modules q/v/o/k/wi_0/wi_1/wo, llm_encoder.py:158) is a
 functional factor pytree over both stacks (cross-attention included), merged
-with ``t5.merge_lora``; peft-format adapter file interop is a round-2 item.
+with ``t5.merge_lora``; peft-format adapter files load/save via
+``t5.load_adapter`` / ``t5.save_adapter`` (key layout
+``base_model.model.{enc,dec}oder.block.N.layer.M.<scope>.<mod>.lora_{A,B}``).
 """
 
 from __future__ import annotations
@@ -89,10 +91,25 @@ class T5Sparse(LLM2Retriever):
     def load(cls, model_name_or_path: str, lora_name_or_path=None,
              merge_peft: bool = True, is_trainable: bool = False,
              T: float = 0.01, **overrides):
-        assert lora_name_or_path is None, "T5 adapters not supported yet"
+        """Base weights + optional peft T5 adapter, merged by default
+        (the T5 analog of LLM2Retriever.load, llm_encoder.py:105-129)."""
         params, cfg = t5.load_pretrained(_resolve_model_dir(model_name_or_path),
                                          **overrides)
-        return cls(params, cfg)
+        lora = lora_config = None
+        if lora_name_or_path:
+            lora, lora_config = t5.load_adapter(
+                _resolve_model_dir(lora_name_or_path), cfg)
+            if merge_peft:
+                params = t5.merge_lora(params, lora, lora_config.scaling)
+                lora = lora_config = None
+        return cls(params, cfg, lora, lora_config)
+
+    def save_trained(self, trainable: dict, out_dir: str,
+                     use_lora: bool = True) -> None:
+        """Persist a trained T5 artifact: peft-format adapter when LoRA."""
+        assert use_lora and self.lora_config is not None, \
+            "full-parameter T5 checkpoints are out of the reference surface"
+        t5.save_adapter(trainable, self.lora_config, out_dir)
 
 
 T5SparseForMarginMSE = type("T5SparseForMarginMSE", (T5Sparse,),

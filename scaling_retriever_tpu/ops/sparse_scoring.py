@@ -13,10 +13,12 @@ resident, so the whole retrieval is HBM-bandwidth-bound with zero scatters
 and no data-dependent shapes. Scoring is exact (K covers every stored
 posting; padding slots point at term 0 with value 0).
 
-Two engines:
-  * ``score_doc_major`` — pure-XLA scan over doc blocks (works everywhere).
-  * ``score_doc_major_pallas`` — Pallas kernel keeping Q^T in VMEM
-    explicitly with double-buffered index streaming (see pallas_scoring.py).
+The scan formulation (``score_doc_major`` / ``retrieve_doc_major``) is the
+whole engine — a hand-written Pallas variant was evaluated and rejected:
+the hot op is an arbitrary row gather from ``Q^T``, which has no faster
+Pallas formulation on v5e (``tpu.dynamic_gather`` is intra-vreg only). The
+Pallas win for sparse retrieval is the contiguous-DMA posting fetch in the
+segsort engine (ops/pallas_fetch.py).
 """
 
 from __future__ import annotations

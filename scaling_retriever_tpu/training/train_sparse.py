@@ -42,7 +42,8 @@ COLLATOR_BY_LOSS = {
 
 def add_args(p: argparse.ArgumentParser, pooling: str) -> None:
     p.add_argument("--model_name_or_path", required=True)
-    p.add_argument("--model_type", default="llama", choices=["llama", "qwen2", "mistral"])
+    p.add_argument("--model_type", default="llama",
+                   choices=["llama", "qwen2", "mistral", "t5"])
     p.add_argument("--loss_type", default="nce",
                    choices=["nce", "margin_mse", "kldiv", "nce_kldiv"])
     p.add_argument("--corpus_path", required=True)
@@ -84,6 +85,10 @@ def build_training(argv, pooling: str):
     parser = argparse.ArgumentParser(description=__doc__)
     add_args(parser, pooling)
     ns = parser.parse_args(argv)
+
+    if ns.model_type == "t5" and ns.loss_type not in ("nce", "margin_mse"):
+        parser.error("t5 supports loss_type nce|margin_mse only "
+                     "(reference train_sparse.py:114-122)")
 
     fields = {f.name for f in dataclasses.fields(LLM2RetrieverTrainingArgs)}
     args = LLM2RetrieverTrainingArgs(

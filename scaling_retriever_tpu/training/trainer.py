@@ -90,6 +90,7 @@ class LLM2RetrieverTrainingArgs:
     n_data_shards: Optional[int] = None
     loss_scale: float = 1.0
     logging_steps: int = 50
+    eval_steps: Optional[int] = None   # run eval_fn every N optimizer steps
     save_steps: Optional[int] = None
     save_total_limit: int = 1
     seed: int = 42
@@ -133,10 +134,14 @@ class Trainer:
     """Explicit training loop; ``encoder`` is any LLM2Retriever instance."""
 
     def __init__(self, encoder, args: LLM2RetrieverTrainingArgs,
-                 train_loader, mesh=None):
+                 train_loader, mesh=None, eval_fn=None):
         self.encoder = encoder
         self.args = args
         self.train_loader = train_loader
+        # eval_fn(trainable, step) -> metrics dict, called every
+        # args.eval_steps optimizer steps and after training (HF
+        # evaluation_strategy="steps" analog, reference mntp configs)
+        self.eval_fn = eval_fn
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         self.step = 0        # optimizer (global) steps completed, HF semantics
         self.micro_step = 0  # loader batches consumed (= scheduler.step calls)
@@ -286,6 +291,10 @@ class Trainer:
                         accum, n_acc = {}, 0
                     if args.save_steps and self.step % args.save_steps == 0:
                         self.save_checkpoint()
+                    if (self.eval_fn is not None and args.eval_steps
+                            and self.step % args.eval_steps == 0):
+                        self._log(dict(self.eval_fn(self.trainable, self.step)),
+                                  time.time() - t0)
                 if self._stop(args):
                     done = True
                     break
@@ -316,18 +325,11 @@ class Trainer:
 
     def save_model(self, out_dir: Optional[str] = None) -> None:
         """Final artifact: peft-compatible adapter, or full HF checkpoint
-        (reference sparse_trainer.py:984-1025)."""
+        (reference sparse_trainer.py:984-1025); format dispatch lives with
+        the encoder (T5 writes its own adapter layout)."""
         out_dir = out_dir or self.args.output_dir
-        if self.use_lora:
-            from scaling_retriever_tpu.models.lora import save_adapter
-
-            save_adapter(jax.device_get(self.trainable),
-                         self.encoder.lora_config, out_dir)
-        else:
-            from scaling_retriever_tpu.models.hf_loader import save_pretrained
-
-            save_pretrained(jax.device_get(self.trainable),
-                            self.encoder.config, out_dir)
+        self.encoder.save_trained(jax.device_get(self.trainable), out_dir,
+                                  use_lora=self.use_lora)
 
     def save_checkpoint(self) -> str:
         """Resumable state: step + trainable + optimizer (orbax)."""

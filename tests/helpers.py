@@ -6,7 +6,7 @@ import os
 import numpy as np
 
 
-def make_tiny_tokenizer(save_dir: str, vocab_words=None):
+def make_tiny_tokenizer(save_dir: str, vocab_words=None, padding_side="left"):
     """Whitespace WordLevel tokenizer saved as PreTrainedTokenizerFast."""
     from tokenizers import Tokenizer
     from tokenizers.models import WordLevel
@@ -21,7 +21,7 @@ def make_tiny_tokenizer(save_dir: str, vocab_words=None):
     tok.pre_tokenizer = Whitespace()
     fast = PreTrainedTokenizerFast(
         tokenizer_object=tok, pad_token="<pad>", unk_token="<unk>",
-        bos_token="<s>", eos_token="</s>", padding_side="left",
+        bos_token="<s>", eos_token="</s>", padding_side=padding_side,
     )
     fast.save_pretrained(save_dir)
     return fast
@@ -40,6 +40,25 @@ def make_tiny_llama_dir(save_dir: str, vocab_size=256, tie=True, seed=0):
     torch.manual_seed(seed)
     LlamaForCausalLM(cfg).save_pretrained(save_dir)
     make_tiny_tokenizer(save_dir)
+    return save_dir
+
+
+def make_tiny_t5_dir(save_dir: str, vocab_size=256, seed=0,
+                     feed_forward_proj="gated-gelu"):
+    """Tiny torch T5 (v1.1-style gated FFN by default, matching the reference
+    LoRA target modules) + tokenizer saved to save_dir."""
+    import torch
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    cfg = T5Config(
+        vocab_size=vocab_size, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, feed_forward_proj=feed_forward_proj,
+        tie_word_embeddings=True, dropout_rate=0.0,
+    )
+    torch.manual_seed(seed)
+    T5ForConditionalGeneration(cfg).save_pretrained(save_dir)
+    make_tiny_tokenizer(save_dir, padding_side="right")  # T5 convention
     return save_dir
 
 

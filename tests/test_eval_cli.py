@@ -158,3 +158,17 @@ def test_beir_pipeline(setup, tmp_path):
     with open(os.path.join(out_dir, "perf.json")) as f:
         perf = json.load(f)
     assert set(perf) == {"NDCG@10", "Recall@100", "R_cap@100"}
+
+    # the dense BEIR pipeline (scripts/beir/eval_beir_dense.sh loop body)
+    embed_dir = str(tmp_path / "beir_dense_embeds")
+    dense_out = str(tmp_path / "beir_dense_out")
+    eval_dense.main(["--task_name", "write_doc_embeds",
+                     "--doc_embed_dir", embed_dir,
+                     "--eval_batch_size", "8", "--doc_max_length", "16"] + common)
+    eval_dense.main(["--task_name", "retrieval", "--doc_embed_dir", embed_dir,
+                     "--out_dir", dense_out, "--eval_batch_size", "4",
+                     "--query_max_length", "16", "--top_k", "5"] + common)
+    eval_dense.main(["--task_name", "evaluate_beir", "--out_dir", dense_out] + common)
+    with open(os.path.join(dense_out, "perf.json")) as f:
+        perf = json.load(f)
+    assert set(perf) == {"NDCG@10", "Recall@100", "R_cap@100"}

@@ -290,6 +290,121 @@ def test_segsort_dma_engine_matches_gather(corpus_index):
                 np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
 
 
+def _random_queries(nq, n_terms=10, seed=None):
+    rng = np.random.default_rng(seed) if seed is not None else RNG
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = rng.choice(V, size=n_terms, replace=False)
+        q[i, terms] = rng.uniform(0.1, 2.0, size=n_terms)
+    return q
+
+
+def _check_topk_exact(scores, rows, want, k, n_docs):
+    """scores/rows [nq, k] in segsort convention vs dense want [nq, N]."""
+    for i in range(want.shape[0]):
+        pos = np.sort(want[i][want[i] > 0])[::-1][:k]
+        got = scores[i][np.isfinite(scores[i]) & (scores[i] > 0)]
+        np.testing.assert_allclose(got, pos[:len(got)], atol=1e-4, rtol=1e-4)
+        assert len(got) == min(k, len(pos))
+        for r, s in zip(rows[i], scores[i]):
+            if np.isfinite(s) and s > 0 and r < n_docs:
+                np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
+
+
+def test_maxscore_engine_exact(corpus_index):
+    """Impact-ordered pruned scoring returns exact top-k both when the
+    certificate holds (deep prefix) and when it forces fallback (prefix=1)."""
+    from scaling_retriever_tpu.ops.maxscore import MaxScoreEngine
+
+    idx = corpus_index
+    dense = _dense_matrix(idx)
+    nq, k = 6, 9
+    q = _random_queries(nq)
+    want = q @ dense.T
+
+    deep = MaxScoreEngine(idx, topk=k, prefix=1 << 14, candidates=32,
+                          query_terms_budget=16, min_budget=256)
+    s, r = deep.retrieve_tile(q, k)
+    _check_topk_exact(s, r, want, k, idx.nb_docs())
+    assert deep.fallbacks == 0  # full lists fetched -> bound 0, certified
+
+    shallow = MaxScoreEngine(idx, topk=k, prefix=1, candidates=32,
+                             query_terms_budget=16, min_budget=256)
+    s, r = shallow.retrieve_tile(q, k)
+    _check_topk_exact(s, r, want, k, idx.nb_docs())
+    assert shallow.tiles == 1
+
+
+def test_maxscore_certificate_sound():
+    """Whenever the certificate says ok (no fallback), the PRUNED result is
+    already exact — stress across seeds and prefix depths."""
+    from scaling_retriever_tpu.ops.maxscore import MaxScoreEngine
+
+    certified = 0
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        n_docs, vloc = 120, 64
+        rows, cols, vals = [], [], []
+        for d in range(n_docs):
+            nnz = rng.integers(2, 10)
+            terms = rng.choice(vloc, size=nnz, replace=False)
+            rows.extend([d] * nnz)
+            cols.extend(terms.tolist())
+            # zipf-ish impacts: a few large, many small
+            vals.extend((rng.pareto(2.5, size=nnz) + 0.05).tolist())
+        idx = SparseIndex.from_triples(
+            np.array(rows), np.array(cols), np.array(vals, np.float32),
+            [f"d{d}" for d in range(n_docs)], vloc)
+        dense = _dense_matrix(idx)
+        q = _random_queries(4, n_terms=6, seed=seed)[:, :vloc]
+        k = 5
+        for prefix in (2, 4, 8):
+            eng = MaxScoreEngine(idx, topk=k, prefix=prefix, candidates=24,
+                                 query_terms_budget=8, min_budget=128)
+            s_dev, r_dev, ok, _ = eng._retrieve_tile_pruned(q, k)
+            ok = np.asarray(ok)
+            s, r = np.asarray(s_dev), np.asarray(r_dev)
+            want = q @ dense.T
+            for i in range(q.shape[0]):
+                if not ok[i]:
+                    continue
+                certified += 1
+                pos = np.sort(want[i][want[i] > 0])[::-1][:k]
+                got = s[i][np.isfinite(s[i]) & (s[i] > 0)]
+                np.testing.assert_allclose(got, pos[:len(got)],
+                                           atol=1e-4, rtol=1e-4)
+                assert len(got) == min(k, len(pos))
+    assert certified > 10  # the certificate actually fires at these depths
+
+
+def test_maxscore_in_sparse_retrieval(corpus_index):
+    """engine="maxscore" plugs into the SparseRetrieval driver and matches
+    the xla engine run output."""
+    from scaling_retriever_tpu.index.sparse_retrieval import SparseRetrieval
+
+    class IdentityModel:
+        def encode(self, input_ids, attention_mask):
+            return jnp.asarray(input_ids, jnp.float32)
+
+    idx = corpus_index
+    q = _random_queries(5)
+    loader = [{"input_ids": q, "attention_mask": np.ones_like(q), "ids":
+               [f"q{i}" for i in range(5)]}]
+    runs = {}
+    for engine in ("xla", "maxscore"):
+        sr = SparseRetrieval(IdentityModel(), idx, engine=engine, topk=7,
+                             value_dtype=jnp.float32)
+        run, _ = sr.retrieve(iter(loader), topk=7)
+        runs[engine] = run
+    assert runs["xla"].keys() == runs["maxscore"].keys()
+    for qid in runs["xla"]:
+        assert runs["xla"][qid].keys() == runs["maxscore"][qid].keys()
+        for d in runs["xla"][qid]:
+            np.testing.assert_allclose(runs["xla"][qid][d],
+                                       runs["maxscore"][qid][d],
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_segsort_engine(corpus_index):
     """Doc-sharded segsort over 4 CPU devices equals the single-device
     engine and brute force."""

@@ -22,8 +22,11 @@ def test_collator_masking_stats():
                              mlm_probability=0.3, special_token_ids=[4],
                              seed=0)
     batch = coll(rng_rows)
-    labels = batch["labels"]
-    inputs = batch["input_ids"]
+    # rows of 100 pad to the next multiple of 8; compare the real region
+    labels = batch["labels"][:, :100]
+    inputs = batch["input_ids"][:, :100]
+    assert batch["labels"].shape[1] == 104
+    assert (batch["labels"][:, 100:] == mntp.IGNORE).all()
     masked = labels != mntp.IGNORE
     rate = masked.mean()
     assert 0.2 < rate < 0.4
@@ -93,3 +96,83 @@ def test_mntp_cli_training(tmp_path):
     with open(os.path.join(out, "trainer_log.jsonl")) as f:
         logs = [json.loads(l) for l in f]
     assert all("accuracy" in l for l in logs)
+
+
+def test_collator_pads_variable_rows():
+    """line_by_line rows vary in length; pads get attention 0, label IGNORE,
+    and are never selected for masking."""
+    rng = np.random.default_rng(1)
+    coll = mntp.MNTPCollator(mask_token_id=3, vocab_size=256,
+                             mlm_probability=0.5, pad_token_id=0, seed=2)
+    rows = [rng.integers(5, 250, size=n).tolist() for n in (5, 11, 16)]
+    batch = coll(rows)
+    assert batch["input_ids"].shape == (3, 16)
+    assert batch["attention_mask"][0].sum() == 5
+    assert batch["attention_mask"][1].sum() == 11
+    pads = batch["attention_mask"] == 0
+    assert (batch["labels"][pads] == mntp.IGNORE).all()
+    assert (batch["input_ids"][pads] == 0).all()
+
+
+def test_mntp_line_by_line_and_eval(tmp_path):
+    """line_by_line mode + eval loop with the shifted metric
+    (reference run_mntp.py:783-800, :846-925)."""
+    model_dir = make_tiny_llama_dir(str(tmp_path / "model"))
+    corpus = tmp_path / "corpus.txt"
+    rng = np.random.default_rng(0)
+    with open(corpus, "w") as f:
+        for _ in range(60):
+            n = int(rng.integers(8, 28))
+            f.write(" ".join(f"w{rng.integers(10, 150)}" for _ in range(n)) + "\n")
+        f.write("\n")  # empty lines are dropped
+    out = str(tmp_path / "lbl_out")
+    trainer = mntp.main([
+        "--model_name_or_path", model_dir, "--train_file", str(corpus),
+        "--output_dir", out, "--max_seq_length", "32", "--line_by_line",
+        "--stop_after_n_steps", "3", "--per_device_train_batch_size", "4",
+        "--logging_steps", "1", "--eval_steps", "2", "--do_eval",
+        "--validation_split_percentage", "10",
+        "--lora_r", "4", "--mask_token_type", "eos",
+    ])
+    assert trainer.step == 3
+    with open(os.path.join(out, "eval_results.json")) as f:
+        results = json.load(f)
+    assert np.isfinite(results["eval_loss"])
+    assert 0.0 <= results["eval_accuracy"] <= 1.0
+    # the periodic eval hook fired at step 2
+    with open(os.path.join(out, "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert any("eval_loss" in l for l in logs)
+
+
+def test_mntp_hf_datasets_branch(tmp_path):
+    """wikitext-style branch: dataset_name pointing at a local
+    datasets.save_to_disk directory (reference run_mntp.py:571-596)."""
+    import datasets as hfd
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{rng.integers(10, 150)}" for _ in range(20))
+             for _ in range(50)]
+    ds = hfd.DatasetDict({
+        "train": hfd.Dataset.from_dict({"text": texts[:40]}),
+        "validation": hfd.Dataset.from_dict({"text": texts[40:] + ["", " "]}),
+    })
+    ds_dir = str(tmp_path / "wikidir")
+    ds.save_to_disk(ds_dir)
+
+    train = mntp.load_hf_dataset_texts(ds_dir, split="train")
+    val = mntp.load_hf_dataset_texts(ds_dir, split="validation")
+    assert len(train) == 40
+    assert len(val) == 10  # empty/whitespace lines dropped
+
+    model_dir = make_tiny_llama_dir(str(tmp_path / "model"))
+    out = str(tmp_path / "wiki_out")
+    trainer = mntp.main([
+        "--model_name_or_path", model_dir, "--dataset_name", ds_dir,
+        "--output_dir", out, "--max_seq_length", "16",
+        "--stop_after_n_steps", "2", "--per_device_train_batch_size", "4",
+        "--logging_steps", "1", "--do_eval",
+        "--lora_r", "4", "--mask_token_type", "eos",
+    ])
+    assert trainer.step == 2
+    assert os.path.exists(os.path.join(out, "eval_results.json"))

@@ -180,6 +180,62 @@ def test_train_sparse_cli(model_dir, train_files, tmp_path):
     assert os.path.exists(os.path.join(out, "trainer_log.jsonl"))
 
 
+def test_t5_trainer_end_to_end(tmp_path):
+    """T5Sparse trains through the same Trainer (reference
+    train_sparse.py:114-122 T5 branch): loss finite + decreasing, adapter
+    saved in peft T5 format, reloadable via load_from_lora."""
+    from helpers import make_tiny_t5_dir
+    from scaling_retriever_tpu.models.t5_encoder import T5Sparse
+
+    t5_dir = make_tiny_t5_dir(str(tmp_path / "t5m"))
+    args = _args(tmp_path / "t5out", max_steps=12, logging_steps=4,
+                 learning_rate=5e-3, lora_dropout=0.0)
+    enc = T5Sparse.build(t5_dir, args)
+    batches = ListLoader(_fake_batches(1, 4, 2, 8) * 15)
+    tr = Trainer(enc, args, batches)
+    tr.train()
+    with open(os.path.join(str(tmp_path / "t5out"), "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert all(np.isfinite(l["loss"]) for l in logs)
+    assert logs[-1]["rank"] < logs[0]["rank"]
+
+    out = str(tmp_path / "t5adapter")
+    tr.save_model(out)
+    assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
+    reloaded = T5Sparse.load_from_lora(out)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 250, (2, 8))
+    reps = np.asarray(reloaded.encode(ids, np.ones((2, 8), np.int32)))
+    assert np.isfinite(reps).all() and reps.shape == (2, 256)
+    # the trained adapter changed the function vs the base model
+    base = T5Sparse.load(t5_dir)
+    base_reps = np.asarray(base.encode(ids, np.ones((2, 8), np.int32)))
+    assert np.abs(reps - base_reps).max() > 1e-5
+
+
+def test_t5_train_sparse_cli(train_files, tmp_path):
+    from helpers import make_tiny_t5_dir
+
+    t5_dir = make_tiny_t5_dir(str(tmp_path / "t5cli_m"))
+    corpus, train_path = train_files
+    out = str(tmp_path / "t5cli_out")
+    train_sparse.main([
+        "--model_name_or_path", t5_dir, "--corpus_path", corpus,
+        "--train_path", train_path, "--output_dir", out,
+        "--model_type", "t5", "--loss_type", "nce",
+        "--max_steps", "2", "--logging_steps", "1",
+        "--per_device_train_batch_size", "1", "--n_negs", "2",
+        "--query_max_length", "16", "--doc_max_length", "16",
+        "--lora_r", "4", "--lora_alpha", "8", "--data_source", "msmarco",
+        "--fixed_length",
+    ])
+    assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
+    import json as _json
+    with open(os.path.join(out, "adapter_config.json")) as f:
+        cfg = _json.load(f)
+    assert cfg["auto_mapping"]["base_model_class"] == "T5ForConditionalGeneration"
+
+
 def test_lora_dropout_stochastic_in_training(model_dir, tmp_path):
     """With lora_dropout>0 the loss is rng-dependent across steps on a fixed
     batch; encode without an rng stays deterministic (peft semantics)."""
