@@ -19,6 +19,11 @@ Methodology (see PERFORMANCE.md):
     processed exactly once.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+NOTE: this index has uniform posting-list lengths; real MSMARCO postings
+are power-law. The companion `bench_zipf.py` measures the same engines on a
+zipf index with MSMARCO-calibrated queries (BENCH_ZIPF.json: 133.6 QPS =
+17.1x) — see PERFORMANCE.md for the side-by-side and the corrected claim.
 """
 
 import json
@@ -111,7 +116,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "sparse_retrieval_qps_msmarco_scale",
         "value": round(qps, 1),
-        "unit": "queries/sec (8.84M docs, 1.13B postings, top-1000, 1 chip)",
+        "unit": ("queries/sec (8.84M docs, 1.13B UNIFORM postings, top-1000, "
+                 "1 chip; power-law counterpart: BENCH_ZIPF.json 133.6 QPS)"),
         "vs_baseline": round(qps / BASELINE_QPS, 1),
     }))
 

@@ -30,6 +30,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} with
 fallback-inclusive QPS; detail goes to stderr.
 """
 
+import functools
 import json
 import os
 import sys
@@ -40,10 +41,12 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax  # noqa: E402
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp  # noqa: E402
+
+# x64 is enabled ONLY around index generation (posting ids exceed int32
+# ranges mid-arithmetic); the retrieval kernels must stay int32 — the Pallas
+# DMA kernel's scalar offsets are 32-bit (Mosaic rejects i64 memref slices).
+enable_x64 = jax.enable_x64
 
 from scaling_retriever_tpu.ops.pallas_fetch import ALIGN, CHUNK  # noqa: E402
 from scaling_retriever_tpu.ops.segsort_scoring import segsort_retrieve_dma  # noqa: E402
@@ -136,20 +139,23 @@ def gen_prefix_csr(t):
             jnp.where(valid, val, 0.0).astype(jnp.float32), jnp.int32)
         return rows, bits
 
-    BLK = 1 << 26  # 67M postings per block
+    BLK = 1 << 25  # 33M postings per block
     n_blocks = -(-n_pad // BLK)
     rows = jnp.zeros(n_blocks * BLK, jnp.int32)
     bits = jnp.zeros(n_blocks * BLK, jnp.int32)
 
-    @jax.jit
+    # donated accumulator: update in place, no 2x copy of the GB-sized array
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def place(acc, blk, lo):
         return jax.lax.dynamic_update_slice(acc, blk, (lo,))
 
     for i in range(n_blocks):
         r, b = gen_block(i * BLK)
-        rows = place(rows, r, i * BLK)
-        bits = place(bits, b, i * BLK)
-    return rows[:n_pad], bits[:n_pad]
+        rows = place(rows, r, jnp.int64(i * BLK))
+        bits = place(bits, b, jnp.int64(i * BLK))
+    # tail beyond n_pad stays zero (never addressed via offsets) — returning
+    # unsliced avoids a full-array copy
+    return rows, bits
 
 
 def gen_doc_major(t):
@@ -177,77 +183,170 @@ def gen_doc_major(t):
         return (jnp.where(ok, term, 0).astype(jnp.int32),
                 jnp.where(ok, val, 0.0).astype(jnp.float32))
 
-    DBLK = 1 << 20  # 1M docs per block
+    DBLK = 1 << 19  # 512k docs per block (bounds int64 temporaries)
     n_blocks = -(-n_pad // DBLK)
     terms = jnp.zeros((n_blocks * DBLK, K), jnp.int32)
     vals = jnp.zeros((n_blocks * DBLK, K), jnp.float32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def place(acc, blk, lo):
-        return jax.lax.dynamic_update_slice(acc, blk, (lo, 0))
+        return jax.lax.dynamic_update_slice(acc, blk, (lo, jnp.int64(0)))
 
     for i in range(n_blocks):
         tb, vb = gen_rows(i * DBLK)
-        terms = place(terms, tb, i * DBLK)
-        vals = place(vals, vb, i * DBLK)
-    return terms[:n_pad], vals[:n_pad], K
+        terms = place(terms, tb, jnp.int64(i * DBLK))
+        vals = place(vals, vb, jnp.int64(i * DBLK))
+    # rows beyond N_DOCS are all-zero (valid sentinel targets); keep padded
+    return terms, vals, K
 
 
-def main() -> None:
-    log(f"devices: {jax.devices()}")
-    t = build_band_tables()
-    log(f"zipf index: V={t['V']} terms, nnz={t['nnz']/1e9:.2f}B postings, "
-        f"max list {t['L'][0]}, min list {t['L'][-1]}, "
-        f"prefix F={F_PREFIX} -> {t['pre_nnz']/1e6:.0f}M prefix postings")
-
-    t0 = time.perf_counter()
-    pre_rows, pre_bits = gen_prefix_csr(t)
-    _ = int(pre_rows[0])
-    log(f"prefix CSR on device in {time.perf_counter()-t0:.0f}s "
-        f"({(pre_rows.nbytes + pre_bits.nbytes)/1e9:.1f} GB)")
-    t0 = time.perf_counter()
-    doc_terms, doc_vals, K = gen_doc_major(t)
-    _ = int(doc_terms[0, 0])
-    log(f"doc-major [{doc_terms.shape[0]}, {K}] on device in "
-        f"{time.perf_counter()-t0:.0f}s "
-        f"({(doc_terms.nbytes + doc_vals.nbytes)/1e9:.1f} GB)")
-
-    pre_offsets_dev = jnp.asarray(t["pre_offsets"])
-
-    # query stream: terms sampled prop. to len^0.7 (hot-term-heavy)
-    rng = np.random.default_rng(0)
-    probs = t["lens"].astype(np.float64) ** 0.7
+def make_queries(t, rng, n_tiles, alpha):
+    """Query stream with terms sampled prop. to len^alpha."""
+    probs = t["lens"].astype(np.float64) ** alpha
     probs /= probs.sum()
     tiles = []
-    for _ in range(N_TILES_TIMED + 1):
+    for _ in range(n_tiles):
         qt = np.zeros((TILE, T_BUDGET), np.int32)
         qv = np.zeros((TILE, T_BUDGET), np.float32)
         for i in range(TILE):
             qt[i, :L0_Q] = rng.choice(t["V"], size=L0_Q, replace=False, p=probs)
             qv[i, :L0_Q] = rng.uniform(0.1, 2.0, L0_Q)
         tiles.append((qt, qv))
-    matched = float((t["lens"][tiles[0][0]] * (tiles[0][1] > 0)).sum(1).mean())
-    pre_matched = float((t["pre_lens"][tiles[0][0]] * (tiles[0][1] > 0)).sum(1).mean())
-    log(f"avg matched postings/query: {matched/1e6:.2f}M full, "
-        f"{pre_matched/1e3:.0f}k in prefix")
+    return tiles
 
-    def jobs_needed(qt, qv):
-        starts = t["pre_offsets"][qt]
-        lens = t["pre_lens"][qt] * (qv > 0)
+
+def calibrate_alpha(t, target_matched: float) -> float:
+    """Bisection on the sampling exponent so the expected matched postings
+    per query hits MSMARCO-like stats (SURVEY §7.3: L0_q≈48, ~425k matched)."""
+    lens = t["lens"].astype(np.float64)
+
+    def expected(alpha):
+        w = lens ** alpha
+        return L0_Q * float((lens * w).sum() / w.sum())
+
+    lo, hi = -1.0, 1.0
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        if expected(mid) < target_matched:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def jobs_for(tiles, offsets, lens_arr):
+    need = 0
+    for qt, qv in tiles:
+        starts = offsets[qt]
+        lens = lens_arr[qt] * (qv > 0)
         heads = starts % ALIGN
-        need = int(np.max(np.sum(-(-(heads + lens) // CHUNK) * (lens > 0), axis=1)))
-        return max(64, -(-need // 64) * 64)
+        need = max(need, int(np.max(np.sum(
+            -(-(heads + lens) // CHUNK) * (lens > 0), axis=1))))
+    return max(64, -(-need // 64) * 64)
 
-    jobs = max(jobs_needed(qt, qv) for qt, qv in tiles)
-    log(f"jobs_per_query={jobs} (sort input {jobs*CHUNK/1e3:.0f}k/query)")
 
-    def run_tile(qt, qv, k=TOPK):
-        """maxscore pipeline; returns (scores, rows, n_certified, fell_back)."""
+def main() -> None:
+    log(f"devices: {jax.devices()}")
+    t = build_band_tables()
+    assert t["nnz"] + CHUNK < 2 ** 31  # retrieval side stays int32
+    log(f"zipf index: V={t['V']} terms, nnz={t['nnz']/1e9:.2f}B postings, "
+        f"max list {t['L'][0]}, min list {t['L'][-1]}")
+
+    rng = np.random.default_rng(0)
+    alpha = calibrate_alpha(t, 425_000.0)
+    real_tiles = make_queries(t, rng, N_TILES_TIMED + 1, alpha)
+    hot_tiles = make_queries(t, rng, N_TILES_TIMED + 1, 0.7)
+    m_real = float(np.mean([(t["lens"][qt] * (qv > 0)).sum(1).mean()
+                            for qt, qv in real_tiles]))
+    m_hot = float(np.mean([(t["lens"][qt] * (qv > 0)).sum(1).mean()
+                           for qt, qv in hot_tiles]))
+    log(f"query streams: MSMARCO-calibrated alpha={alpha:.3f} "
+        f"({m_real/1e3:.0f}k matched/query), hot alpha=0.7 "
+        f"({m_hot/1e6:.2f}M matched/query)")
+
+    results = {}
+
+    # ---- phase A: full-CSR segsort on the calibrated stream ---------------
+    t_full = dict(t, pre_L=t["L"], pre_lens=t["lens"],
+                  pre_offsets=t["offsets"],
+                  pre_post_start=t["post_start"], pre_nnz=t["nnz"])
+    t0 = time.perf_counter()
+    with enable_x64():
+        full_rows, full_bits = gen_prefix_csr(t_full)
+        _ = int(full_rows[0])
+    log(f"full CSR on device in {time.perf_counter()-t0:.0f}s "
+        f"({(full_rows.nbytes + full_bits.nbytes)/1e9:.1f} GB)")
+    full_offsets_dev = jnp.asarray(t["offsets"].astype(np.int32))
+
+    # power-law job tables vary 100x per query; schedule by cost — sort the
+    # stream by per-query job need and tile homogeneously (what a production
+    # driver does), with power-of-two budget buckets to bound recompiles
+    SEG_TILE = 16  # bounds the worst bucket's sort memory next to the 8.5GB CSR
+    all_qt = np.concatenate([qt for qt, _ in real_tiles])
+    all_qv = np.concatenate([qv for _, qv in real_tiles])
+    starts = t["offsets"][all_qt]
+    lens_q = t["lens"][all_qt] * (all_qv > 0)
+    need_q = np.sum(-(-((starts % ALIGN) + lens_q) // CHUNK) * (lens_q > 0),
+                    axis=1)
+    order = np.argsort(need_q, kind="stable")
+    all_qt, all_qv, need_q = all_qt[order], all_qv[order], need_q[order]
+    seg_tiles = []
+    for s0 in range(0, len(all_qt) - SEG_TILE + 1, SEG_TILE):
+        qt = all_qt[s0:s0 + SEG_TILE]
+        qv = all_qv[s0:s0 + SEG_TILE]
+        need = int(need_q[s0:s0 + SEG_TILE].max())
+        bucket = max(64, 1 << int(np.ceil(np.log2(need))))
+        seg_tiles.append((qt, qv, bucket))
+    buckets = sorted({b for _, _, b in seg_tiles})
+    log(f"segsort-full: {len(seg_tiles)} tiles of {SEG_TILE}, "
+        f"job buckets {buckets}")
+
+    def seg_tile(qt, qv, bucket):
+        s, r, tot = segsort_retrieve_dma(
+            full_rows, full_bits, full_offsets_dev,
+            jnp.asarray(qt), jnp.asarray(qv), k=TOPK,
+            jobs_per_query=bucket, n_docs=N_DOCS)
+        return np.asarray(s, np.float32), np.asarray(r)
+
+    t0 = time.perf_counter()
+    for b in buckets:  # warm every bucket's compilation before timing
+        qt, qv, _ = next(x for x in seg_tiles if x[2] == b)
+        seg_tile(qt, qv, b)
+    log(f"segsort warmed {len(buckets)} buckets in {time.perf_counter()-t0:.0f}s")
+
+    t0 = time.perf_counter()
+    for qt, qv, b in seg_tiles:
+        s_seg0, r_seg0 = seg_tile(qt, qv, b)
+        qt_seg_last, qv_seg_last = qt, qv
+    dt = time.perf_counter() - t0
+    qps_seg = SEG_TILE * len(seg_tiles) / dt
+    results["segsort_real_qps"] = qps_seg
+    log(f"segsort-full (calibrated stream): {qps_seg:.1f} QPS "
+        f"({dt/len(seg_tiles)*1e3:.0f} ms per {SEG_TILE}-query tile)")
+    del full_rows, full_bits
+
+    # ---- phase B: maxscore (prefix + certificate + rescore) ---------------
+    log(f"prefix F={F_PREFIX} -> {t['pre_nnz']/1e6:.0f}M prefix postings")
+    t0 = time.perf_counter()
+    with enable_x64():
+        pre_rows, pre_bits = gen_prefix_csr(t)
+        _ = int(pre_rows[0])
+        doc_terms, doc_vals, K = gen_doc_major(t)
+        _ = int(doc_terms[0, 0])
+    log(f"prefix CSR + doc-major [{doc_terms.shape[0]}, {K}] on device in "
+        f"{time.perf_counter()-t0:.0f}s "
+        f"({(pre_rows.nbytes + pre_bits.nbytes + doc_terms.nbytes + doc_vals.nbytes)/1e9:.1f} GB)")
+    pre_offsets_dev = jnp.asarray(t["pre_offsets"].astype(np.int32))
+    jobs_pre = max(jobs_for(real_tiles, t["pre_offsets"], t["pre_lens"]),
+                   jobs_for(hot_tiles, t["pre_offsets"], t["pre_lens"]))
+    log(f"maxscore jobs_per_query={jobs_pre}")
+
+    def ms_tile(qt, qv, k=TOPK):
         bound = (t["u_arr"][qt] * qv * (qv > 0)).sum(1).astype(np.float32)
         ps, pr, tot = segsort_retrieve_dma(
             pre_rows, pre_bits, pre_offsets_dev,
             jnp.asarray(qt), jnp.asarray(qv), k=C_CAND,
-            jobs_per_query=jobs, n_docs=N_DOCS)
+            jobs_per_query=jobs_pre, n_docs=N_DOCS)
         s, r, ok = rescore_candidates(
             doc_terms, doc_vals, ps, pr, jnp.asarray(qt), jnp.asarray(qv),
             jnp.asarray(bound), k=k, n_docs=N_DOCS)
@@ -263,62 +362,66 @@ def main() -> None:
             return np.asarray(s2, np.float32), np.asarray(r2), n_cert, True
         return np.asarray(s, np.float32), np.asarray(r), n_cert, False
 
-    log("compiling + warmup tile ...")
+    log("maxscore compile + warmup ...")
     t0 = time.perf_counter()
-    s, r, n_cert, fb = run_tile(*tiles[0])
-    log(f"warmup: {time.perf_counter()-t0:.0f}s; certified {n_cert}/{TILE}, "
-        f"fell_back={fb}")
+    s_ms0, r_ms0, n_cert0, fb0 = ms_tile(*real_tiles[0])
+    log(f"warmup: {time.perf_counter()-t0:.0f}s; certified {n_cert0}/{TILE}, "
+        f"fell_back={fb0}")
 
-    # on-device exactness oracle for the warmup tile: certified queries must
-    # match the exhaustive scan bit-for-bit-ish (same f32 data, f32 adds)
-    qt0, qv0 = tiles[0]
-    q_dense = np.zeros((t["V"], TILE), np.float32)
-    for i in range(TILE):
-        q_dense[qt0[i], i] = qv0[i]
-    t0 = time.perf_counter()
-    s_or, r_or = retrieve_doc_major(doc_terms, doc_vals, jnp.asarray(q_dense),
-                                    k=TOPK, block=DOC_BLOCK)
-    s_or = np.asarray(s_or, np.float32)
-    exhaustive_tile_s = time.perf_counter() - t0
-    bound0 = (t["u_arr"][qt0] * qv0 * (qv0 > 0)).sum(1)
-    ps0, pr0, _ = segsort_retrieve_dma(pre_rows, pre_bits, pre_offsets_dev,
-                                       jnp.asarray(qt0), jnp.asarray(qv0),
-                                       k=C_CAND, jobs_per_query=jobs,
-                                       n_docs=N_DOCS)
-    s0, r0, ok0 = rescore_candidates(doc_terms, doc_vals, ps0, pr0,
-                                     jnp.asarray(qt0), jnp.asarray(qv0),
-                                     jnp.asarray(bound0.astype(np.float32)),
-                                     k=TOPK, n_docs=N_DOCS)
-    ok0 = np.asarray(ok0)
-    s0 = np.asarray(s0, np.float32)
-    checked = 0
-    for i in range(TILE):
-        if ok0[i]:
-            np.testing.assert_allclose(s0[i], s_or[i], rtol=2e-4, atol=2e-4)
-            checked += 1
-    log(f"exactness oracle: {checked} certified queries match the exhaustive "
-        f"scan (exhaustive tile: {exhaustive_tile_s:.1f}s)")
+    # exactness oracles on the warmup tile:
+    # (1) maxscore output (certified or fallback, either path) vs the
+    #     exhaustive doc-major scan; (2) segsort-full vs the same
+    def exhaustive(qt, qv, nq):
+        q_dense = np.zeros((t["V"], nq), np.float32)
+        for i in range(nq):
+            q_dense[qt[i], i] = qv[i]
+        s_or, _ = retrieve_doc_major(doc_terms, doc_vals,
+                                     jnp.asarray(q_dense), k=TOPK,
+                                     block=DOC_BLOCK)
+        return np.asarray(s_or, np.float32)
 
-    t0 = time.perf_counter()
-    total_cert, n_fb = 0, 0
-    for qt, qv in tiles[1:]:
-        _, _, nc, fb = run_tile(qt, qv)
-        total_cert += nc
-        n_fb += int(fb)
-    dt = time.perf_counter() - t0
-    n_queries = TILE * N_TILES_TIMED
-    qps = n_queries / dt
-    cert_frac = total_cert / n_queries
-    log(f"{n_queries} queries in {dt:.2f}s -> {qps:.1f} QPS "
-        f"(certified {cert_frac:.1%}, {n_fb}/{N_TILES_TIMED} tiles fell back "
-        f"to the exhaustive scan)")
+    s_or = exhaustive(*real_tiles[0], TILE)
+    valid = np.isfinite(s_ms0) & (s_ms0 > 0)
+    np.testing.assert_allclose(np.where(valid, s_ms0, 0),
+                               np.where(valid, s_or, 0), rtol=2e-4, atol=2e-4)
+    s_or32 = exhaustive(qt_seg_last, qv_seg_last, SEG_TILE)
+    vs = np.isfinite(s_seg0) & (s_seg0 > 0)
+    np.testing.assert_allclose(np.where(vs, s_seg0, 0),
+                               np.where(vs, s_or32, 0), rtol=2e-4, atol=2e-4)
+    log("exactness oracle: maxscore AND segsort-full match the exhaustive "
+        "scan")
 
+    def timed_stream(tiles, label):
+        t0 = time.perf_counter()
+        cert, fb = 0, 0
+        for qt, qv in tiles[1:]:
+            _, _, nc, f = ms_tile(qt, qv)
+            cert += nc
+            fb += int(f)
+        dt = time.perf_counter() - t0
+        nq = TILE * (len(tiles) - 1)
+        log(f"maxscore ({label}): {nq} queries in {dt:.2f}s -> "
+            f"{nq/dt:.1f} QPS (certified {cert/nq:.1%}, {fb} fallback tiles)")
+        return nq / dt, cert / nq
+
+    qps_ms_real, cert_real = timed_stream(real_tiles, "calibrated stream")
+    # warm up hot-stream shapes before timing it
+    ms_tile(*hot_tiles[0])
+    qps_ms_hot, cert_hot = timed_stream(hot_tiles, "hot stream")
+    results.update(maxscore_real_qps=qps_ms_real, cert_real=cert_real,
+                   maxscore_hot_qps=qps_ms_hot, cert_hot=cert_hot)
+
+    best_label, best_qps = max(
+        [("segsort", qps_seg), ("maxscore", qps_ms_real)], key=lambda x: x[1])
     print(json.dumps({
         "metric": "sparse_retrieval_qps_msmarco_zipf",
-        "value": round(qps, 1),
+        "value": round(best_qps, 1),
         "unit": (f"queries/sec (8.84M docs, {t['nnz']/1e9:.2f}B zipf postings, "
-                 f"top-1000, 1 chip, exact, {cert_frac:.0%} certified)"),
-        "vs_baseline": round(qps / BASELINE_QPS, 1),
+                 f"MSMARCO-calibrated queries ~{m_real/1e3:.0f}k matched, "
+                 f"top-1000, 1 chip, exact, engine={best_label}; "
+                 f"hot-stream {m_hot/1e6:.1f}M-matched worst case "
+                 f"{qps_ms_hot:.1f} QPS)"),
+        "vs_baseline": round(best_qps / BASELINE_QPS, 1),
     }))
 
 

@@ -316,12 +316,19 @@ def main(argv=None):
         param_dtype=jnp.bfloat16 if ns.bf16 else jnp.float32,
         dtype=jnp.bfloat16 if ns.bf16 else jnp.float32)
 
-    # reference initialize_peft uses lora_alpha = 2*r (run_mntp.py:78-116)
+    # reference initialize_peft uses lora_alpha = 2*r (run_mntp.py:78-116);
+    # the adapter class follows the base model family (the reference ships a
+    # near-duplicate examples/run_mntp.py just to add Mistral,
+    # examples/run_mntp.py:72-95 — here one generic entry point covers all)
+    mntp_class = {
+        "llama": "LlamaBiForMNTP", "qwen2": "Qwen2BiForMNTP",
+        "mistral": "MistralBiForMNTP",
+    }.get(config.model_type, "LlamaBiForMNTP")
     lora_alpha = ns.lora_alpha if ns.lora_alpha else 2 * ns.lora_r
     lora_config = LoraConfig(r=ns.lora_r, lora_alpha=lora_alpha,
                              lora_dropout=ns.lora_dropout,
                              base_model_name_or_path=ns.model_name_or_path,
-                             base_model_class="LlamaBiForMNTP")
+                             base_model_class=mntp_class)
     lora = init_lora_params(config, lora_config, jax.random.PRNGKey(ns.seed))
     model = MNTPModel(params, config, lora, lora_config)
 

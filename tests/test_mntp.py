@@ -145,6 +145,43 @@ def test_mntp_line_by_line_and_eval(tmp_path):
     assert any("eval_loss" in l for l in logs)
 
 
+def test_mntp_mistral_variant(tmp_path):
+    """The reference ships examples/run_mntp.py (a near-duplicate) solely to
+    add Mistral (examples/run_mntp.py:72-95); here the one generic CLI covers
+    it — the adapter class follows the base model family."""
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+
+    from helpers import make_tiny_tokenizer
+
+    model_dir = str(tmp_path / "mistral")
+    cfg = MistralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=4096)
+    torch.manual_seed(0)
+    MistralForCausalLM(cfg).save_pretrained(model_dir)
+    make_tiny_tokenizer(model_dir)
+
+    corpus = tmp_path / "corpus.tsv"
+    rng = np.random.default_rng(0)
+    with open(corpus, "w") as f:
+        for d in range(30):
+            words = " ".join(f"w{rng.integers(10, 150)}" for _ in range(30))
+            f.write(f"doc{d}\t{words}\n")
+    out = str(tmp_path / "mistral_mntp_out")
+    trainer = mntp.main([
+        "--model_name_or_path", model_dir, "--train_file", str(corpus),
+        "--output_dir", out, "--max_seq_length", "32",
+        "--stop_after_n_steps", "2", "--per_device_train_batch_size", "4",
+        "--logging_steps", "1", "--lora_r", "4", "--mask_token_type", "eos",
+    ])
+    assert trainer.step == 2
+    with open(os.path.join(out, "adapter_config.json")) as f:
+        cfg_out = json.load(f)
+    assert cfg_out["auto_mapping"]["base_model_class"] == "MistralBiForMNTP"
+
+
 def test_mntp_hf_datasets_branch(tmp_path):
     """wikitext-style branch: dataset_name pointing at a local
     datasets.save_to_disk directory (reference run_mntp.py:571-596)."""
