@@ -6,9 +6,10 @@ faiss-row→doc-id mapping, ``index.dpr`` serialization). Exact flat IP search
 is a matmul; on TPU it belongs on the MXU:
 
     scores = Q @ D^T   (bf16 in, f32 accumulate), chunked over docs with a
-    running top-k merge, and doc-sharded over the device mesh with an
-    all_gather + final top-k (parallel/topk.py) when more than one chip is
-    available.
+    running top-k merge; ``make_sharded_dense_search`` doc-shards the
+    embedding matrix over a device mesh with per-shard top-k + on-chip
+    all_gather merge — required at MSMARCO scale for 2048-dim models
+    (8.8M x 2048 bf16 = 36 GB, beyond one chip's HBM).
 """
 
 from __future__ import annotations
@@ -50,6 +51,38 @@ def _search_chunked(docs: jax.Array, queries: jax.Array, k: int,
     (scores, rows), _ = jax.lax.scan(body, init,
                                      (blocks, jnp.arange(nb, dtype=jnp.int32)))
     return scores, rows
+
+
+def make_sharded_dense_search(mesh, axis: str, k: int, chunk: int = 262144):
+    """Doc-sharded exact IP search over a device mesh: each device scores
+    its local [N_shard, D] block, takes a local top-k, and the k-way merge
+    is an on-chip all_gather + final top-k over ICI (the dense analog of
+    ops/sparse_scoring.make_sharded_retrieve).
+
+    Returns fn(docs, row_ids, queries) -> (scores [nq, k], global_rows
+    [nq, k]); docs [N, D] and row_ids [N] sharded over ``axis`` (N a
+    multiple of chunk * mesh size; pad rows must be zero vectors), queries
+    [nq, D] replicated. Invalid slots carry -inf / -1.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local_fn(docs, row_ids, queries):
+        scores, rows = _search_chunked(docs, queries, k=k, chunk=chunk)
+        grows = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
+        all_s = jax.lax.all_gather(scores, axis, axis=1)   # [nq, S, k]
+        all_r = jax.lax.all_gather(grows, axis, axis=1)
+        nq = scores.shape[0]
+        merged_s, idx = jax.lax.top_k(all_s.reshape(nq, -1), k)
+        merged_r = jnp.take_along_axis(all_r.reshape(nq, -1), idx, axis=1)
+        return merged_s, merged_r
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
 
 
 class DenseIndexer:

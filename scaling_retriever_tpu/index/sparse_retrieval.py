@@ -134,15 +134,29 @@ class SparseRetrieval:
         res: dict = defaultdict(dict)
         if self.engine in ("segsort", "maxscore"):
             tile = self.query_tile
+            # cost-sorted scheduling: power-law indexes make per-query work
+            # vary ~100x (matched postings drive the sort size and the
+            # power-of-two job bucket). Grouping queries by estimated cost
+            # keeps each tile's static budget near its members' actual need
+            # instead of the stream max — the scheduling behind the zipf
+            # bench numbers (PERFORMANCE.md). Results are unaffected (exact
+            # per query, keyed by qid).
+            order = np.arange(nq)
+            host_lens = getattr(self._seg, "_host_lens", None)
+            if nq > tile and host_lens is not None:
+                q_terms, q_vals = self._seg.sparsify_queries(q_dense)
+                cost = (host_lens[q_terms] * (q_vals > 0)).sum(axis=1)
+                order = np.argsort(cost, kind="stable")
             for start in range(0, nq, tile):
-                q_tile = q_dense[start:start + tile]
+                sel = order[start:start + tile]
+                q_tile = q_dense[sel]
                 pad = tile - q_tile.shape[0]
                 if pad:
                     q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
                 with profile_span(f"{self.engine}_retrieve_tile"):
                     scores, rows = self._seg.retrieve_tile(q_tile, topk)
-                for local_qi in range(min(tile, nq - start)):
-                    qid = qids[start + local_qi]
+                for local_qi, qi in enumerate(sel):
+                    qid = qids[qi]
                     for row, sc in zip(rows[local_qi], scores[local_qi]):
                         if sc > threshold and row < self.n_docs:
                             res[str(qid)][str(self.index.doc_ids[row])] = float(sc)

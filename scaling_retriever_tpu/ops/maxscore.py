@@ -152,6 +152,14 @@ class MaxScoreEngine:
         self.tiles = 0
         self.fallbacks = 0
 
+    # cost-model passthroughs for SparseRetrieval's tile scheduler
+    @property
+    def _host_lens(self):
+        return self._seg._host_lens
+
+    def sparsify_queries(self, q_dense):
+        return self._seg.sparsify_queries(q_dense)
+
     def retrieve_tile(self, q_dense: np.ndarray, topk: Optional[int] = None
                       ) -> tuple[np.ndarray, np.ndarray]:
         """q_dense [nq, V] → (scores [nq, k], rows [nq, k]); always exact."""

@@ -405,6 +405,70 @@ def test_maxscore_in_sparse_retrieval(corpus_index):
                                        rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_dense_search_matches_single():
+    """Doc-sharded dense search over 8 CPU devices == single-device exact
+    search (required at MSMARCO scale: 8.8M x 2048 bf16 > one chip's HBM)."""
+    from jax.sharding import Mesh as JMesh, NamedSharding, PartitionSpec as P
+    from scaling_retriever_tpu.index.dense_index import (
+        make_sharded_dense_search, _search_chunked,
+    )
+
+    devices = jax.devices()[:8]
+    mesh = JMesh(np.array(devices), ("data",))
+    n, d, nq, k, chunk = 8 * 64 * 3, 16, 5, 7, 64
+    rng = np.random.default_rng(3)
+    docs = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    row_ids = np.arange(n, dtype=np.int32)
+
+    sh = NamedSharding(mesh, P("data"))
+    fn = make_sharded_dense_search(mesh, "data", k=k, chunk=chunk)
+    s, r = fn(jax.device_put(jnp.asarray(docs), sh),
+              jax.device_put(jnp.asarray(row_ids), sh),
+              jnp.asarray(queries))
+    s, r = np.asarray(s), np.asarray(r)
+
+    want = queries @ docs.T
+    for i in range(nq):
+        order = np.argsort(-want[i], kind="stable")[:k]
+        np.testing.assert_allclose(np.sort(s[i])[::-1],
+                                   np.sort(want[i][order])[::-1], atol=1e-4)
+        np.testing.assert_allclose(want[i][r[i]], s[i], atol=1e-4)
+
+
+def test_cost_sorted_tile_scheduling(corpus_index):
+    """With nq > query_tile, segsort/maxscore tiles are formed in cost order
+    (power-law scheduling); every query's results still land under its own
+    qid and match the xla engine."""
+    from scaling_retriever_tpu.index.sparse_retrieval import SparseRetrieval
+
+    class IdentityModel:
+        def encode(self, input_ids, attention_mask):
+            return jnp.asarray(input_ids, jnp.float32)
+
+    idx = corpus_index
+    nq = 13
+    q = _random_queries(nq)
+    # make costs uneven: some queries use few terms
+    q[::3, :] *= (np.arange(V) < 40)[None, :]
+    loader = [{"input_ids": q, "attention_mask": np.ones_like(q),
+               "ids": [f"q{i}" for i in range(nq)]}]
+    runs = {}
+    for engine in ("xla", "segsort", "maxscore"):
+        sr = SparseRetrieval(IdentityModel(), idx, engine=engine, topk=6,
+                             query_tile=4, value_dtype=jnp.float32)
+        run, _ = sr.retrieve(iter(loader), topk=6)
+        runs[engine] = run
+    for engine in ("segsort", "maxscore"):
+        assert runs["xla"].keys() == runs[engine].keys()
+        for qid in runs["xla"]:
+            assert runs["xla"][qid].keys() == runs[engine][qid].keys(), (engine, qid)
+            for d in runs["xla"][qid]:
+                np.testing.assert_allclose(runs[engine][qid][d],
+                                           runs["xla"][qid][d],
+                                           rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_segsort_engine(corpus_index):
     """Doc-sharded segsort over 4 CPU devices equals the single-device
     engine and brute force."""
