@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_metric", default="")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
+    p.add_argument("--use_mesh", action="store_true",
+                   help="doc-shard the embedding matrix over all devices "
+                        "(required when the corpus exceeds one chip's HBM, "
+                        "e.g. MSMARCO at 2048-dim)")
     return p
 
 
@@ -126,6 +130,69 @@ class LocalDenseRetriever:
         return self.indexer.search_knn(query_vectors, top_docs)
 
 
+class MeshDenseRetriever:
+    """Doc-sharded dense retrieval over all devices: the embedding matrix is
+    split over the mesh and merged with an on-chip all_gather + top-k
+    (index/dense_index.make_sharded_dense_search) — required when the
+    corpus exceeds one chip's HBM (8.8M x 2048 bf16 = 36 GB)."""
+
+    def __init__(self, hidden_dim: int, mesh, chunk: int = 8192,
+                 query_tile: int = 256, dtype=None):
+        import jax.numpy as jnp
+
+        self.hidden_dim = hidden_dim
+        self.mesh = mesh
+        self.chunk = chunk
+        self.query_tile = query_tile  # bounds the [nq, chunk] score temporary
+        self.dtype = dtype or jnp.bfloat16
+        self.ids: list = []
+        self._vecs: list = []
+
+    def index_encoded_data(self, doc_embed_dir: str) -> None:
+        emb_files, id_files = obtain_doc_vec_dir_files(doc_embed_dir)
+        for emb_f, id_f in zip(emb_files, id_files):
+            self._vecs.append(np.load(emb_f).astype(np.float32))
+            self.ids.extend(np.load(id_f, allow_pickle=True).tolist())
+
+    def get_top_docs(self, query_vectors: np.ndarray, top_docs: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from scaling_retriever_tpu.index.dense_index import (
+            make_sharded_dense_search,
+        )
+
+        docs = np.concatenate(self._vecs, axis=0)
+        n = docs.shape[0]
+        n_dev = self.mesh.devices.size
+        n_pad = -(-n // (self.chunk * n_dev)) * self.chunk * n_dev
+        if n_pad != n:
+            docs = np.pad(docs, ((0, n_pad - n), (0, 0)))
+        row_ids = np.full(n_pad, -1, np.int32)
+        row_ids[:n] = np.arange(n)
+        sh = NamedSharding(self.mesh, P("data"))
+        docs_d = jax.device_put(jnp.asarray(docs, self.dtype), sh)
+        rows_d = jax.device_put(jnp.asarray(row_ids), sh)
+        k = min(top_docs, n)
+        fn = make_sharded_dense_search(self.mesh, "data", k=k, chunk=self.chunk)
+        q = np.asarray(query_vectors, np.float32)
+        out = []
+        for start in range(0, q.shape[0], self.query_tile):
+            q_tile = q[start:start + self.query_tile]
+            pad = self.query_tile - q_tile.shape[0] if q.shape[0] > self.query_tile else 0
+            if pad:
+                q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+            scores, rows = fn(docs_d, rows_d, jnp.asarray(q_tile, self.dtype))
+            scores = np.asarray(scores, np.float32)
+            rows = np.asarray(rows)
+            for qi in range(min(self.query_tile, q.shape[0] - start)):
+                valid = rows[qi] >= 0
+                out.append(([self.ids[r] for r in rows[qi][valid]],
+                            scores[qi][valid].tolist()))
+        return out
+
+
 def dense_retrieval(args) -> None:
     tokenizer = _tokenizer(args)
     if args.is_beir and args.beir_dataset:
@@ -139,7 +206,18 @@ def dense_retrieval(args) -> None:
     collator = LlamaDenseCollectionCollator(tokenizer, args.query_max_length)
     loader = DataLoader(q_collection, args.eval_batch_size, collator)
 
-    retriever = LocalDenseRetriever(model.hidden_size)
+    if args.use_mesh:
+        import jax
+        from jax.sharding import Mesh as JMesh
+
+        devices = jax.devices()
+        if len(devices) > 1:
+            mesh = JMesh(np.array(devices), ("data",))
+            retriever = MeshDenseRetriever(model.hidden_size, mesh)
+        else:
+            retriever = LocalDenseRetriever(model.hidden_size)
+    else:
+        retriever = LocalDenseRetriever(model.hidden_size)
     retriever.index_encoded_data(args.doc_embed_dir)
 
     run: dict = {}

@@ -127,6 +127,24 @@ def test_dense_cli_pipeline(setup):
     ])
     assert os.path.exists(os.path.join(out_dir, "perf.json"))
 
+    # --use_mesh: doc-sharded search over the 8-device CPU mesh gives the
+    # same ranking (scores to bf16 tolerance)
+    mesh_out = os.path.join(root, "dense_out_mesh")
+    eval_dense.main([
+        "--task_name", "retrieval", "--model_name_or_path", model_dir,
+        "--query_path", queries, "--doc_embed_dir", embed_dir,
+        "--out_dir", mesh_out, "--eval_batch_size", "8",
+        "--query_max_length", "16", "--top_k", "10",
+        "--data_source", "msmarco", "--use_mesh",
+    ])
+    with open(os.path.join(mesh_out, "run.json")) as f:
+        run_mesh = json.load(f)
+    assert run_mesh.keys() == run.keys()
+    for qid in run:
+        assert run_mesh[qid].keys() == run[qid].keys()
+        for d in run[qid]:
+            assert abs(run_mesh[qid][d] - run[qid][d]) < 2e-2
+
 
 def test_beir_pipeline(setup, tmp_path):
     root, model_dir, *_ = setup
