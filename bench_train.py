@@ -1,0 +1,121 @@
+"""Training-step throughput at the reference's 1B recipe on one v5e chip.
+
+Reference recipe (scripts/msmarco/llama_1b_sparse_lora_train_cl.sh): LoRA
+r=16 contrastive training of Llama-3.2-1B, per-device batch 8 with 16
+negatives, query len 64 / doc len 128, bf16, effective batch 512 via
+gradient accumulation; the 8B dense variant takes 38.5 h on 4x A100
+(llama_8b_dense_lora_train_cl-kd.sh:18). This measures the jitted NCE
+train step (forward on 8 queries + 136 passages, backward to the LoRA
+factors, AdamW update) at the exact Llama-3.2-1B architecture with random
+weights — throughput is weight-independent.
+
+Prints one JSON line (a PERFORMANCE.md row, not the driver headline).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from scaling_retriever_tpu.models import llama  # noqa: E402
+from scaling_retriever_tpu.models.config import ModelConfig  # noqa: E402
+from scaling_retriever_tpu.models.encoder import LlamaBiSparse  # noqa: E402
+from scaling_retriever_tpu.models.lora import LoraConfig, init_lora_params  # noqa: E402
+from scaling_retriever_tpu.training.trainer import (  # noqa: E402
+    LLM2RetrieverTrainingArgs, Trainer,
+)
+
+BZ, N_NEGS, Q_LEN, D_LEN = 8, 16, 64, 128
+STEPS = 8
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    config = ModelConfig(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=64, rope_theta=500000.0, tie_word_embeddings=True,
+        max_position_embeddings=131072,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True)
+    t0 = time.perf_counter()
+    params = llama.init_params(config, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log(f"1B params initialized on device in {time.perf_counter()-t0:.0f}s")
+
+    args = LLM2RetrieverTrainingArgs(
+        output_dir="/tmp/bench_train", max_steps=STEPS, logging_steps=10**9,
+        lora=True, lora_r=16, lora_alpha=32, lora_dropout=0.0,
+        task_names=("rank", "query_reg", "doc_reg"),
+        task_weights=(1.0, 0.01, 0.008), bf16=True)
+    lora_config = LoraConfig(r=16, lora_alpha=32,
+                             base_model_name_or_path="llama-3.2-1b-random")
+    lora = init_lora_params(config, lora_config, jax.random.PRNGKey(1),
+                            dtype=jnp.float32)
+    enc = LlamaBiSparse(params, config, lora, lora_config)
+    trainer = Trainer(enc, args, train_loader=[])
+
+    rng = np.random.default_rng(0)
+    n_ctx = BZ * (1 + N_NEGS)
+    batch = {
+        "tokenized_queries": {
+            "input_ids": jnp.asarray(
+                rng.integers(4, config.vocab_size, (BZ, Q_LEN)), jnp.int32),
+            "attention_mask": jnp.ones((BZ, Q_LEN), jnp.int32)},
+        "tokenized_contexts": {
+            "input_ids": jnp.asarray(
+                rng.integers(4, config.vocab_size, (n_ctx, D_LEN)), jnp.int32),
+            "attention_mask": jnp.ones((n_ctx, D_LEN), jnp.int32)},
+        "target_labels": jnp.arange(BZ, dtype=jnp.int32),
+    }
+
+    log("compiling train step ...")
+    t0 = time.perf_counter()
+    tr, opt, metrics = trainer._jit_step(trainer.trainable, trainer.opt_state,
+                                         batch, jnp.asarray(1, jnp.int32))
+    loss0 = float(metrics["loss"])  # host read forces completion
+    log(f"compile+first step: {time.perf_counter()-t0:.0f}s, loss {loss0:.3f}")
+
+    t0 = time.perf_counter()
+    for s in range(STEPS):
+        tr, opt, metrics = trainer._jit_step(tr, opt, batch,
+                                             jnp.asarray(s + 2, jnp.int32))
+        _ = float(metrics["loss"])  # per-step host read (timing honesty)
+    dt = (time.perf_counter() - t0) / STEPS
+    tokens = n_ctx * D_LEN + BZ * Q_LEN
+    n_params = 1.24e9
+    # fwd 2*P FLOP/token; backward to LoRA still differentiates through the
+    # frozen stack: ~2x fwd for activation grads (no weight-grad matmuls)
+    tflops = 3 * 2 * n_params * tokens / dt / 1e12
+    examples_s = BZ / dt
+    micro_per_opt = 512 // BZ
+    epoch_h = 1050 * micro_per_opt * dt / 3600
+    log(f"{dt*1e3:.0f} ms/micro step ({examples_s:.2f} queries+{N_NEGS} negs "
+        f"ex/s, ~{tflops:.0f} TFLOP/s incl. backward); reference epoch "
+        f"(1050 opt steps @ eff. 512) ~= {epoch_h:.1f} h on ONE v5e chip")
+
+    print(json.dumps({
+        "metric": "train_step_ms_llama1b_lora_nce",
+        "value": round(dt * 1e3, 1),
+        "unit": (f"ms per micro step (bz {BZ} x (1+{N_NEGS}) ctx, q{Q_LEN}/"
+                 f"d{D_LEN}, bf16+remat, LoRA r16, 1 v5e chip; "
+                 f"~{tflops:.0f} TFLOP/s; ref epoch ~{epoch_h:.1f} h/chip)"),
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -147,19 +147,32 @@ class SparseRetrieval:
                 q_terms, q_vals = self._seg.sparsify_queries(q_dense)
                 cost = (host_lens[q_terms] * (q_vals > 0)).sum(axis=1)
                 order = np.argsort(cost, kind="stable")
-            for start in range(0, nq, tile):
-                sel = order[start:start + tile]
-                q_tile = q_dense[sel]
-                pad = tile - q_tile.shape[0]
-                if pad:
-                    q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
-                with profile_span(f"{self.engine}_retrieve_tile"):
-                    scores, rows = self._seg.retrieve_tile(q_tile, topk)
-                for local_qi, qi in enumerate(sel):
+            if self.engine == "maxscore" and nq:
+                # batched driver: pruned pass over every tile first, then
+                # uncertified queries from ALL tiles aggregate into dense
+                # exhaustive tiles (ops/maxscore.retrieve_batch)
+                with profile_span("maxscore_retrieve_batch"):
+                    scores, rows = self._seg.retrieve_batch(
+                        q_dense[order], topk, tile=tile)
+                for pos, qi in enumerate(order):
                     qid = qids[qi]
-                    for row, sc in zip(rows[local_qi], scores[local_qi]):
+                    for row, sc in zip(rows[pos], scores[pos]):
                         if sc > threshold and row < self.n_docs:
                             res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+            else:
+                for start in range(0, nq, tile):
+                    sel = order[start:start + tile]
+                    q_tile = q_dense[sel]
+                    pad = tile - q_tile.shape[0]
+                    if pad:
+                        q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+                    with profile_span(f"{self.engine}_retrieve_tile"):
+                        scores, rows = self._seg.retrieve_tile(q_tile, topk)
+                    for local_qi, qi in enumerate(sel):
+                        qid = qids[qi]
+                        for row, sc in zip(rows[local_qi], scores[local_qi]):
+                            if sc > threshold and row < self.n_docs:
+                                res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
         elif self.engine == "cpp":
             ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
             for qi, qid in enumerate(qids):

@@ -255,3 +255,31 @@ def rewrite_mntp_to_bimodel(adapter_dir: str, out_dir: str,
         cfg["auto_mapping"]["base_model_class"] = bi_cls
     with open(os.path.join(out_dir, "adapter_config.json"), "w") as f:
         json.dump(cfg, f, indent=2)
+
+
+def _rewrite_cli(argv=None) -> None:
+    """CLI mirror of reference preprocess/lora_rewrite_from_mntp_to_bimodel.py
+    (invoked by scripts/lora_rewrite_from_mntp_to_bimodel.sh). Run:
+        python -m scaling_retriever_tpu.models.lora \\
+            --input_dir <mntp adapter> --output_dir <bimodel adapter>
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=_rewrite_cli.__doc__)
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--model_type", default=None,
+                   help="llama|qwen2; inferred from adapter_config by default")
+    ns = p.parse_args(argv)
+    model_type = ns.model_type
+    if model_type is None:
+        with open(os.path.join(ns.input_dir, "adapter_config.json")) as f:
+            cls_name = (json.load(f).get("auto_mapping") or {}).get(
+                "base_model_class", "LlamaBiForMNTP")
+        model_type = "qwen2" if cls_name.startswith("Qwen2") else "llama"
+    rewrite_mntp_to_bimodel(ns.input_dir, ns.output_dir, model_type)
+    print(f"rewrote {ns.input_dir} -> {ns.output_dir} ({model_type})")
+
+
+if __name__ == "__main__":
+    _rewrite_cli()

@@ -173,6 +173,51 @@ class MaxScoreEngine:
             return self._retrieve_tile_exhaustive(q_dense, topk)
         return np.asarray(scores, np.float32), np.asarray(rows)
 
+    def retrieve_batch(self, q_dense: np.ndarray, topk: Optional[int] = None,
+                       tile: int = 64) -> tuple[np.ndarray, np.ndarray]:
+        """Batched driver with CROSS-TILE fallback aggregation: every tile
+        runs the pruned path first (all results + per-query certificates),
+        then only the uncertified queries — from ALL tiles — are re-batched
+        into full-width exhaustive tiles. The exhaustive doc-major scan's
+        cost is nearly independent of nq (HBM gathers dominate), so packing
+        uncertified queries densely is up to tile-width cheaper than the
+        per-tile whole-tile fallback of retrieve_tile."""
+        k = min(topk or self.topk, self.C, self.n_docs)
+        nq = q_dense.shape[0]
+        out_s = np.empty((nq, k), np.float32)
+        out_r = np.empty((nq, k), np.int64)
+        in_flight = []
+        for start in range(0, nq, tile):
+            q_tile = q_dense[start:start + tile]
+            pad = tile - q_tile.shape[0]
+            if pad:
+                q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+            in_flight.append((start, self._retrieve_tile_pruned(q_tile, k)))
+        retry: list[int] = []
+        for start, (s, r, ok, aux) in in_flight:
+            if aux is not None:
+                total, p_budget = aux
+                assert int(np.asarray(total).max()) <= p_budget
+            self.tiles += 1
+            ok = np.asarray(ok)
+            s = np.asarray(s, np.float32)
+            r = np.asarray(r)
+            n_real = min(tile, nq - start)
+            out_s[start:start + n_real] = s[:n_real]
+            out_r[start:start + n_real] = r[:n_real]
+            retry.extend(start + i for i in range(n_real) if not ok[i])
+        for rstart in range(0, len(retry), tile):
+            sel = retry[rstart:rstart + tile]
+            self.fallbacks += 1
+            q_tile = q_dense[sel]
+            pad = tile - q_tile.shape[0]
+            if pad:
+                q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+            s, r = self._retrieve_tile_exhaustive(q_tile, k)
+            out_s[sel] = s[:len(sel)]
+            out_r[sel] = r[:len(sel)]
+        return out_s, out_r
+
     def _retrieve_tile_pruned(self, q_dense: np.ndarray,
                               topk: Optional[int] = None):
         """Phases 1+2 only (no fallback): returns device (scores, rows, ok)

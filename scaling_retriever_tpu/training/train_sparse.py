@@ -63,7 +63,9 @@ def add_args(p: argparse.ArgumentParser, pooling: str) -> None:
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--warmup_ratio", type=float, default=0.04)
-    p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--max_steps", type=int, default=1000,
+                   help="optimizer steps (HF semantics); <=0 uses epochs")
+    p.add_argument("--num_train_epochs", type=float, default=3.0)
     p.add_argument("--per_device_train_batch_size", type=int, default=8)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--n_negs", type=int, default=1)

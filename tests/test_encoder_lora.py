@@ -148,6 +148,17 @@ def test_mntp_rewrite_tool(tiny_ckpt_with_adapter, tmp_path):
     assert all(not k.startswith("base_model.model.model.") for k in keys)
     assert any("lora_A" in k for k in keys)
 
+    # the CLI entry (reference preprocess/lora_rewrite_from_mntp_to_bimodel.py
+    # + scripts/lora_rewrite_from_mntp_to_bimodel.sh)
+    from scaling_retriever_tpu.models.lora import _rewrite_cli
+
+    out2 = tmp_path / "rewritten_cli"
+    _rewrite_cli(["--input_dir", adapter_dir, "--output_dir", str(out2)])
+    with safe_open(str(out2 / "adapter_model.safetensors"),
+                   framework="numpy") as f:
+        keys2 = sorted(f.keys())
+    assert keys2 == sorted(keys)
+
 
 def test_loss_forward_shapes(tiny_ckpt_with_adapter):
     base_dir, adapter_dir, _m, _c = tiny_ckpt_with_adapter

@@ -334,6 +334,16 @@ def test_maxscore_engine_exact(corpus_index):
     _check_topk_exact(s, r, want, k, idx.nb_docs())
     assert shallow.tiles == 1
 
+    # batched driver with cross-tile fallback aggregation: exact on a
+    # mixed certified/uncertified stream, small tiles
+    mixed = MaxScoreEngine(idx, topk=k, prefix=8, candidates=32,
+                           query_terms_budget=16, min_budget=256)
+    nq_b = 10
+    qb = _random_queries(nq_b, n_terms=8, seed=42)
+    wb = qb @ dense.T
+    sb, rb = mixed.retrieve_batch(qb, k, tile=4)
+    _check_topk_exact(sb, rb, wb, k, idx.nb_docs())
+
 
 def test_maxscore_certificate_sound():
     """Whenever the certificate says ok (no fallback), the PRUNED result is

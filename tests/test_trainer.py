@@ -180,6 +180,16 @@ def test_train_sparse_cli(model_dir, train_files, tmp_path):
     assert os.path.exists(os.path.join(out, "trainer_log.jsonl"))
 
 
+def test_epochs_mode(model_dir, tmp_path):
+    """max_steps <= 0 trains num_train_epochs epochs (HF semantics)."""
+    args = _args(tmp_path, max_steps=0, num_train_epochs=2, logging_steps=1)
+    enc = LlamaBiSparse.build(model_dir, args)
+    batches = ListLoader(_fake_batches(3, 2, 2, 8))  # 3 batches per epoch
+    tr = Trainer(enc, args, batches)
+    tr.train()
+    assert tr.step == 6 and tr.epoch == 2
+
+
 def test_t5_trainer_end_to_end(tmp_path):
     """T5Sparse trains through the same Trainer (reference
     train_sparse.py:114-122 T5 branch): loss finite + decreasing, adapter
