@@ -280,8 +280,12 @@ def main() -> None:
 
     # power-law job tables vary 100x per query; schedule by cost — sort the
     # stream by per-query job need and tile homogeneously (what a production
-    # driver does), with power-of-two budget buckets to bound recompiles
-    SEG_TILE = 16  # bounds the worst bucket's sort memory next to the 8.5GB CSR
+    # driver does), with power-of-two budget buckets to bound recompiles.
+    # Tile size adapts to the bucket: nq * bucket is capped at S_SLOTS so
+    # cheap queries ride wide 64-query tiles (the measured throughput peak)
+    # while hot-term tiles shrink, keeping sort memory bounded next to the
+    # 8.5 GB CSR.
+    S_SLOTS = 32768          # nq * jobs_per_query cap (device memory bound)
     all_qt = np.concatenate([qt for qt, _ in real_tiles])
     all_qv = np.concatenate([qv for _, qv in real_tiles])
     starts = t["offsets"][all_qt]
@@ -290,39 +294,66 @@ def main() -> None:
                     axis=1)
     order = np.argsort(need_q, kind="stable")
     all_qt, all_qv, need_q = all_qt[order], all_qv[order], need_q[order]
-    seg_tiles = []
-    for s0 in range(0, len(all_qt) - SEG_TILE + 1, SEG_TILE):
-        qt = all_qt[s0:s0 + SEG_TILE]
-        qv = all_qv[s0:s0 + SEG_TILE]
-        need = int(need_q[s0:s0 + SEG_TILE].max())
-        bucket = max(64, 1 << int(np.ceil(np.log2(need))))
-        seg_tiles.append((qt, qv, bucket))
-    buckets = sorted({b for _, _, b in seg_tiles})
-    log(f"segsort-full: {len(seg_tiles)} tiles of {SEG_TILE}, "
-        f"job buckets {buckets}")
 
-    def seg_tile(qt, qv, bucket):
-        s, r, tot = segsort_retrieve_dma(
+    def pow2_bucket(need: int) -> int:
+        return max(64, 1 << int(np.ceil(np.log2(max(need, 1)))))
+
+    seg_tiles = []  # (qt [nq_pad, T], qv, bucket, n_real)
+    s0 = 0
+    while s0 < len(all_qt):
+        for nq_try in (64, 32, 16):
+            hi = min(s0 + nq_try, len(all_qt))
+            bucket = pow2_bucket(int(need_q[s0:hi].max()))
+            if nq_try * bucket <= S_SLOTS or nq_try == 16:
+                qt, qv = all_qt[s0:hi], all_qv[s0:hi]
+                pad = nq_try - qt.shape[0]
+                if pad:
+                    qt = np.pad(qt, ((0, pad), (0, 0)))
+                    qv = np.pad(qv, ((0, pad), (0, 0)))
+                seg_tiles.append((qt, qv, bucket, hi - s0))
+                s0 = hi
+                break
+    variants = sorted({(qt.shape[0], b) for qt, _, b, _ in seg_tiles})
+    log(f"segsort-full: {len(seg_tiles)} cost-sized tiles, "
+        f"(nq, bucket) variants {variants}")
+
+    def seg_dispatch(qt, qv, bucket):
+        return segsort_retrieve_dma(
             full_rows, full_bits, full_offsets_dev,
             jnp.asarray(qt), jnp.asarray(qv), k=TOPK,
             jobs_per_query=bucket, n_docs=N_DOCS)
-        return np.asarray(s, np.float32), np.asarray(r)
 
     t0 = time.perf_counter()
-    for b in buckets:  # warm every bucket's compilation before timing
-        qt, qv, _ = next(x for x in seg_tiles if x[2] == b)
-        seg_tile(qt, qv, b)
-    log(f"segsort warmed {len(buckets)} buckets in {time.perf_counter()-t0:.0f}s")
+    for nqv, b in variants:  # warm every variant's compilation before timing
+        qt, qv, _, _ = next(x for x in seg_tiles
+                            if x[0].shape[0] == nqv and x[2] == b)
+        s, r, _tot = seg_dispatch(qt, qv, b)
+        _ = float(s[0, 0])
+    log(f"segsort warmed {len(variants)} variants in "
+        f"{time.perf_counter()-t0:.0f}s")
 
+    # depth-2 pipeline: dispatch tile i+1 before the host read of tile i
+    # (the SparseRetrieval driver discipline)
     t0 = time.perf_counter()
-    for qt, qv, b in seg_tiles:
-        s_seg0, r_seg0 = seg_tile(qt, qv, b)
-        qt_seg_last, qv_seg_last = qt, qv
+    pending = None
+    for qt, qv, b, n_real in seg_tiles:
+        cur = (seg_dispatch(qt, qv, b), qt, qv, n_real)
+        if pending is not None:
+            (s_d, r_d, _), pqt, pqv, pn = pending
+            s_seg0 = np.asarray(s_d, np.float32)[:pn]
+            r_seg0 = np.asarray(r_d)[:pn]
+            qt_seg_last, qv_seg_last = pqt[:pn], pqv[:pn]
+        pending = cur
+    (s_d, r_d, _), pqt, pqv, pn = pending
+    s_seg0 = np.asarray(s_d, np.float32)[:pn]
+    r_seg0 = np.asarray(r_d)[:pn]
+    qt_seg_last, qv_seg_last = pqt[:pn], pqv[:pn]
     dt = time.perf_counter() - t0
-    qps_seg = SEG_TILE * len(seg_tiles) / dt
+    n_seg_q = int(sum(x[3] for x in seg_tiles))
+    qps_seg = n_seg_q / dt
     results["segsort_real_qps"] = qps_seg
     log(f"segsort-full (calibrated stream): {qps_seg:.1f} QPS "
-        f"({dt/len(seg_tiles)*1e3:.0f} ms per {SEG_TILE}-query tile)")
+        f"({n_seg_q} queries, {dt/len(seg_tiles)*1e3:.0f} ms/tile avg)")
     del full_rows, full_bits
 
     # ---- phase B: maxscore (prefix + certificate + rescore) ---------------
@@ -384,7 +415,7 @@ def main() -> None:
     valid = np.isfinite(s_ms0) & (s_ms0 > 0)
     np.testing.assert_allclose(np.where(valid, s_ms0, 0),
                                np.where(valid, s_or, 0), rtol=2e-4, atol=2e-4)
-    s_or32 = exhaustive(qt_seg_last, qv_seg_last, SEG_TILE)
+    s_or32 = exhaustive(qt_seg_last, qv_seg_last, qt_seg_last.shape[0])
     vs = np.isfinite(s_seg0) & (s_seg0 > 0)
     np.testing.assert_allclose(np.where(vs, s_seg0, 0),
                                np.where(vs, s_or32, 0), rtol=2e-4, atol=2e-4)

@@ -55,8 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_metric", default="",
                    help="python-list literal, e.g. \"['mrr_10','recall']\" "
                         "(reference eval_sparse.py:68 uses eval())")
-    p.add_argument("--engine", default="xla",
-                   choices=["xla", "segsort", "maxscore", "cpp"])
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "segsort", "maxscore", "cpp"],
+                   help="auto = segsort on an accelerator, xla scan on CPU")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--use_mesh", action="store_true",

@@ -7,12 +7,16 @@ and scored against the HBM-resident doc-major index with a fused gather +
 reduce + top-k (ops/sparse_scoring.py); multi-chip merges ride ICI.
 
 Engines:
-  * "xla"      — default, jit scan over doc blocks (single device or mesh)
+  * "auto"     — default: "segsort" on an accelerator backend (the measured
+                 fast path at MSMARCO scale, PERFORMANCE.md), "xla" on CPU
+                 (tiny-index tests and hosts without a chip)
+  * "xla"      — jit scan over doc blocks (single device or mesh); work is
+                 independent of query term hotness — the bounded worst-case
+                 engine for pessimal (hot-term) streams
   * "segsort"  — sort-based matched-postings engine with the Pallas
                  contiguous-DMA fetch (ops/segsort_scoring.py)
   * "maxscore" — impact-ordered pruned scoring with exact-rescore +
-                 certified fallback (ops/maxscore.py) — the fast path at
-                 power-law MSMARCO scale (PERFORMANCE.md)
+                 certified fallback (ops/maxscore.py)
   * "cpp"      — native C++ CSR engine on host (index/cpp_engine.py), the
                  CPU fallback / parity oracle
 
@@ -38,15 +42,27 @@ from scaling_retriever_tpu.ops.sparse_scoring import (
 )
 
 
+def resolve_engine(engine: str, backend: Optional[str] = None) -> str:
+    """Resolve "auto" to a concrete engine: segsort on an accelerator (the
+    measured fast path — 17-47x the CPU baseline at MSMARCO scale,
+    PERFORMANCE.md), the XLA doc-major scan on CPU where tiny test indexes
+    and interpret-mode Pallas make segsort the wrong default."""
+    if engine != "auto":
+        return engine
+    backend = backend or jax.default_backend()
+    return "xla" if backend == "cpu" else "segsort"
+
+
 class SparseRetrieval:
     def __init__(self, model, index: SparseIndex | str, out_dir: Optional[str] = None,
-                 topk: int = 1000, engine: str = "xla", query_tile: int = 32,
+                 topk: int = 1000, engine: str = "auto", query_tile: int = 32,
                  block: int = 4096, mesh=None, data_axis: str = "data",
                  value_dtype=jnp.bfloat16):
         self.model = model
         self.index = SparseIndex.load(index) if isinstance(index, str) else index
         self.out_dir = out_dir
         self.topk = topk
+        engine = resolve_engine(engine)
         self.engine = engine
         self.query_tile = query_tile
         self.block = block
@@ -160,6 +176,19 @@ class SparseRetrieval:
                         if sc > threshold and row < self.n_docs:
                             res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
             else:
+                # depth-2 dispatch-ahead: dispatch tile i+1 before reading
+                # tile i's results, overlapping the host readback + run-dict
+                # fill with the next tile's device compute (JAX dispatch is
+                # async; the host read is the only sync point)
+                def _drain(sel, payload):
+                    scores, rows = self._seg.finalize(payload)
+                    for local_qi, qi in enumerate(sel):
+                        qid = qids[qi]
+                        for row, sc in zip(rows[local_qi], scores[local_qi]):
+                            if sc > threshold and row < self.n_docs:
+                                res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+
+                pending = None
                 for start in range(0, nq, tile):
                     sel = order[start:start + tile]
                     q_tile = q_dense[sel]
@@ -167,12 +196,12 @@ class SparseRetrieval:
                     if pad:
                         q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
                     with profile_span(f"{self.engine}_retrieve_tile"):
-                        scores, rows = self._seg.retrieve_tile(q_tile, topk)
-                    for local_qi, qi in enumerate(sel):
-                        qid = qids[qi]
-                        for row, sc in zip(rows[local_qi], scores[local_qi]):
-                            if sc > threshold and row < self.n_docs:
-                                res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+                        cur = (sel, self._seg.retrieve_tile_async(q_tile, topk))
+                        if pending is not None:
+                            _drain(*pending)
+                        pending = cur
+                if pending is not None:
+                    _drain(*pending)
         elif self.engine == "cpp":
             ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
             for qi, qid in enumerate(qids):

@@ -31,22 +31,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 1024   # postings per DMA job (tile-aligned int32 run)
-ALIGN = 1024   # source alignment in postings (int32 1-D tiling)
+CHUNK = 1024    # postings per DMA job (tile-aligned int32 run)
+ALIGN = 1024    # source alignment in postings (int32 1-D tiling)
+PIPELINE = 8    # outstanding DMA jobs (power of two; semaphore ring depth)
 
 
 def _fetch_kernel(src_ref, rows_hbm, vals_hbm, rows_out, vals_out, sem):
+    """Depth-PIPELINE software pipeline: grid steps run sequentially on the
+    core, so a start-then-wait kernel serializes the full DMA round-trip per
+    job (~us each x thousands of jobs). Instead, job j's copies are started
+    PIPELINE steps early and only *waited* at step j — up to PIPELINE jobs
+    stay in flight, hiding issue latency behind transfer."""
     j = pl.program_id(0)
-    src = pl.multiple_of(src_ref[j], ALIGN)
-    dst = pl.multiple_of(j * CHUNK, CHUNK)
-    d1 = pltpu.make_async_copy(rows_hbm.at[pl.ds(src, CHUNK)],
-                               rows_out.at[pl.ds(dst, CHUNK)], sem.at[0])
-    d2 = pltpu.make_async_copy(vals_hbm.at[pl.ds(src, CHUNK)],
-                               vals_out.at[pl.ds(dst, CHUNK)], sem.at[1])
-    d1.start()
-    d2.start()
+    nj = pl.num_programs(0)
+
+    def dmas(job):
+        src = pl.multiple_of(src_ref[job], ALIGN)
+        dst = pl.multiple_of(job * CHUNK, CHUNK)
+        slot = job & (PIPELINE - 1)
+        return (pltpu.make_async_copy(rows_hbm.at[pl.ds(src, CHUNK)],
+                                      rows_out.at[pl.ds(dst, CHUNK)],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(vals_hbm.at[pl.ds(src, CHUNK)],
+                                      vals_out.at[pl.ds(dst, CHUNK)],
+                                      sem.at[slot, 1]))
+
+    @pl.when(j == 0)
+    def _():  # prologue: fill the ring
+        def start_job(i, carry):
+            d1, d2 = dmas(i)
+            d1.start()
+            d2.start()
+            return carry
+        jax.lax.fori_loop(0, min(PIPELINE, nj), start_job, 0)
+
+    d1, d2 = dmas(j)
     d1.wait()
     d2.wait()
+
+    @pl.when(j + PIPELINE < nj)
+    def _():  # steady state: j's slot is free again; start j+PIPELINE
+        n1, n2 = dmas(j + PIPELINE)
+        n1.start()
+        n2.start()
 
 
 @functools.partial(jax.jit, static_argnames=("jobs_per_query", "interpret"))
@@ -74,32 +101,33 @@ def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
 
     slot = jnp.arange(jobs_per_query, dtype=jnp.int32)
 
-    # The scan also emits per-JOB validity bounds and query weights (tiny
+    # Per-JOB source addresses, validity bounds, and query weights (tiny
     # [nq, jobs_per_query] arrays): term t of query q is valid at padded
     # positions [prev_jobs*CHUNK + head, + len), which each job intersects
     # with its own [slot*CHUNK, (slot+1)*CHUNK) span. Downstream masking is
-    # then ONE elementwise pass over [nq, Pp] instead of a T-step scan.
+    # then ONE elementwise pass over [nq, Pp].
+    #
+    # Built as a single broadcast-and-reduce over [nq, T, J] (each job slot
+    # belongs to at most one term, so a masked sum over T selects it) — a
+    # T-step lax.scan here cost a fixed ~33 ms per tile in sequential tiny-
+    # kernel launches, dominating the fetch; the job table is small enough
+    # ([nq, T, J] ≈ 2-8M elements) that one fused reduction is ~free.
     region_start = prev_jobs * CHUNK + head                          # [nq, T]
     region_end = region_start + lens
 
-    def job_body(carry, xs):
-        src_j, jv_start, jv_end, j_qv = carry
-        sa, pj, cj, rs, re, qv_t = xs                                # [nq]
-        within = (slot[None] >= pj[:, None]) & (slot[None] < cj[:, None])
-        src_j = jnp.where(within,
-                          sa[:, None] + (slot[None] - pj[:, None]) * CHUNK,
-                          src_j)
-        jv_start = jnp.where(within, rs[:, None], jv_start)
-        jv_end = jnp.where(within, re[:, None], jv_end)
-        j_qv = jnp.where(within, qv_t[:, None], j_qv)
-        return (src_j, jv_start, jv_end, j_qv), None
+    within = ((slot[None, None, :] >= prev_jobs[:, :, None])
+              & (slot[None, None, :] < cum_jobs[:, :, None]))        # [nq,T,J]
+    wi = within.astype(jnp.int32)
 
-    zero_i = jnp.zeros((nq, jobs_per_query), jnp.int32)
-    (src_j, jv_start, jv_end, j_qv), _ = jax.lax.scan(
-        job_body, (zero_i, zero_i, zero_i,
-                   jnp.zeros((nq, jobs_per_query), jnp.float32)),
-        (src_al.T, prev_jobs.T, cum_jobs.T,
-         region_start.T, region_end.T, q_vals.T))
+    def pick_i(per_term):                                            # [nq, T]
+        return (wi * per_term[:, :, None]).sum(axis=1)
+
+    src_j = (wi * (src_al[:, :, None]
+                   + (slot[None, None, :] - prev_jobs[:, :, None]) * CHUNK)
+             ).sum(axis=1)
+    jv_start = pick_i(region_start)
+    jv_end = pick_i(region_end)
+    j_qv = (within.astype(jnp.float32) * q_vals[:, :, None]).sum(axis=1)
     # callers must pad the flat arrays by CHUNK (SegsortEngine does) so that
     # every aligned window [src_al, src_al + CHUNK) is in bounds; the clamp
     # below only guards idle job slots (src 0) and malformed offsets
@@ -110,11 +138,11 @@ def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(total_jobs,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((2,))],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((PIPELINE, 2))],
     )
     rows_o, vals_o = pl.pallas_call(
         _fetch_kernel,

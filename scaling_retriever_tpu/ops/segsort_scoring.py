@@ -272,7 +272,14 @@ class SegsortEngine:
     def retrieve_tile(self, q_dense: np.ndarray, topk: Optional[int] = None
                       ) -> tuple[np.ndarray, np.ndarray]:
         """q_dense [nq, V] → (scores [nq, k], rows [nq, k]); exact."""
-        scores, rows, total, p_budget = self.retrieve_tile_async(q_dense, topk)
+        return self.finalize(self.retrieve_tile_async(q_dense, topk))
+
+    def finalize(self, payload) -> tuple[np.ndarray, np.ndarray]:
+        """Host-read + budget-check a retrieve_tile_async payload. Whole-
+        buffer reads on purpose: scalar reads enqueue a device slice op that
+        serializes behind later-dispatched tiles, breaking pipelined drivers
+        (measured; see CLAUDE.md)."""
+        scores, rows, total, p_budget = payload
         if total is not None:
             assert int(np.asarray(total).max()) <= p_budget
         return np.asarray(scores, np.float32), np.asarray(rows)
@@ -358,14 +365,21 @@ class ShardedSegsortEngine:
             self.row_offsets.append(lo)
         self.n_docs = n
 
-    def retrieve_tile(self, q_dense: np.ndarray, topk=None
-                      ) -> tuple[np.ndarray, np.ndarray]:
+    def retrieve_tile_async(self, q_dense: np.ndarray, topk=None):
+        """Dispatch the tile on EVERY shard without any host read: JAX
+        dispatch is async, so all devices compute concurrently (a per-shard
+        host read here would serialize the shards, ~1/n_devices throughput).
+        Returns an opaque payload for finalize(); lets the SparseRetrieval
+        depth-2 pipeline overlap the host merge of tile i with tile i+1's
+        device compute."""
         topk = topk or self.topk
-        # dispatch EVERY shard before reading any result: JAX dispatch is
-        # async, so all devices compute concurrently; a per-shard host read
-        # here would serialize the shards (~1/n_devices throughput)
         in_flight = [eng.retrieve_tile_async(q_dense, topk)
                      for eng in self.shards]
+        return in_flight, topk
+
+    def finalize(self, payload) -> tuple[np.ndarray, np.ndarray]:
+        """Host-side k-way merge of the per-shard top-k lists."""
+        in_flight, topk = payload
         all_scores, all_rows = [], []
         for (s_dev, r_dev, total, p_budget), eng, off in zip(
                 in_flight, self.shards, self.row_offsets):
@@ -381,3 +395,7 @@ class ShardedSegsortEngine:
         order = np.argsort(-scores, axis=1, kind="stable")[:, :topk]
         return (np.take_along_axis(scores, order, axis=1),
                 np.take_along_axis(rows, order, axis=1))
+
+    def retrieve_tile(self, q_dense: np.ndarray, topk=None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        return self.finalize(self.retrieve_tile_async(q_dense, topk))

@@ -171,3 +171,29 @@ def test_sparse_segsort_sharded_driver(sparse_setup, tmp_path):
         eng.T = 16
     run, _ = retriever.retrieve(q_batches)
     _check_run(run, q_batches, q_dense, docs_dense, k=10)
+
+
+def test_resolve_engine_auto():
+    """auto = segsort on an accelerator backend, xla doc-major on CPU
+    (the SparseRetrieval default; PERFORMANCE.md engine table)."""
+    from scaling_retriever_tpu.index.sparse_retrieval import resolve_engine
+
+    assert resolve_engine("auto", "cpu") == "xla"
+    assert resolve_engine("auto", "tpu") == "segsort"
+    assert resolve_engine("auto", "axon") == "segsort"
+    # explicit choices pass through untouched
+    for eng in ("xla", "segsort", "maxscore", "cpp"):
+        assert resolve_engine(eng, "tpu") == eng
+    # in-process resolution (tests force the cpu platform)
+    assert resolve_engine("auto") == "xla"
+
+
+def test_sparse_auto_engine_driver(sparse_setup, tmp_path):
+    """engine="auto" resolves on CPU to the xla scan and retrieves exactly."""
+    model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
+    retriever = SparseRetrieval(model, index_dir, out_dir=str(tmp_path / "auto"),
+                                topk=10, engine="auto", query_tile=4, block=32,
+                                value_dtype=jnp.float32)
+    assert retriever.engine == "xla"
+    run, _ = retriever.retrieve(q_batches)
+    _check_run(run, q_batches, q_dense, docs_dense, k=10)
