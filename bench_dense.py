@@ -1,0 +1,154 @@
+"""Dense (faiss-flat-IP replacement) retrieval benchmark on one chip.
+
+The reference's dense path is faiss-cpu ``IndexFlatIP`` over f32 embeddings
+(reference indexer.py:191-217, eval_dense.py:190-241) — exact brute-force
+inner product. Here the same exact search is an MXU matmul with a running
+top-k (index/dense_index._search_chunked).
+
+Scale: Llama-1B dense embeddings are 2048-dim; MSMARCO's 8.8M passages in
+bf16 are 36 GB — beyond one v5e's HBM, handled by doc-sharding over a mesh
+(make_sharded_dense_search; 8-device CPU-mesh test + dryrun_multichip cover
+it). This single-chip benchmark therefore measures a 2M-doc shard (8.6 GB
+resident) — per-chip throughput at MSMARCO scale is this number with the
+corpus sharded over ~5 chips, minus one ICI all-gather of [nq, k] per tile.
+
+Methodology: index generated on device (host tunnel is ~0.06-0.5 GB/s);
+depth-2 pipelined driver with whole-buffer host reads (see CLAUDE.md);
+in-run exactness oracle vs an unchunked matmul + top_k.
+
+CPU baseline: measured on THIS host — numpy f32 BLAS GEMM + argpartition
+top-k (the same exact-scan faiss-cpu performs, minus faiss's overhead) on a
+200k-doc slice, scaled linearly to 2M docs.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from scaling_retriever_tpu.index.dense_index import (  # noqa: E402
+    _search_chunked, _search_chunked_blocked,
+)
+
+N_DOCS = 2_097_152      # 8 chunks of 262144; 8.6 GB bf16 at D=2048
+D = 2048                # Llama-3.2-1B hidden size
+TOPK = 1000
+TILE = 256              # queries per device call
+N_TILES_TIMED = 12
+CHUNK = 262_144
+CPU_SLICE = 200_000     # docs for the host-BLAS baseline measurement
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    log(f"devices: {jax.devices()}")
+
+    @jax.jit
+    def gen_docs():
+        key = jax.random.PRNGKey(0)
+        d = jax.random.normal(key, (N_DOCS, D), jnp.bfloat16)
+        # L2-normalize like the dense encoder's unit-norm token pooling
+        n = jnp.sqrt(jnp.sum(jnp.square(d.astype(jnp.float32)), -1,
+                             keepdims=True))
+        return (d.astype(jnp.float32) / n).astype(jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    docs = gen_docs()
+    _ = np.asarray(docs[0, :1])
+    log(f"{N_DOCS}x{D} bf16 index on device in {time.perf_counter()-t0:.0f}s "
+        f"({docs.nbytes/1e9:.1f} GB)")
+
+    rng = np.random.default_rng(0)
+    tiles = []
+    for _ in range(N_TILES_TIMED + 1):
+        q = rng.standard_normal((TILE, D)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        tiles.append(jnp.asarray(q, jnp.bfloat16))
+
+    def dispatch(q):
+        # block-local certified selection (the DenseFlatIndexer "auto"
+        # path): lax.top_k over the full score slab dominates flat search;
+        # per-4096-block top-32 + merge + certificate cuts it ~1.6x and is
+        # exact whenever certified (measured ~always at these shapes)
+        return _search_chunked_blocked(docs, q, k=TOPK, chunk=CHUNK)
+
+    log("compiling ...")
+    t0 = time.perf_counter()
+    s, r, ok = dispatch(tiles[0])
+    s0 = np.asarray(s, np.float32)
+    r0 = np.asarray(r)
+    assert bool(np.asarray(ok).all()), "certificate failed; bench the direct path"
+    log(f"compile+first: {time.perf_counter()-t0:.1f}s (certified all)")
+
+    # exactness oracle: unchunked matmul + top_k for the first 8 queries.
+    # docs is an ARGUMENT, not a closure capture — a captured device array
+    # is serialized into the lowered program as an 8.6 GB constant, which
+    # wedges the remote compile service on this backend
+    @jax.jit
+    def oracle(d, q):
+        sc = jnp.einsum("qd,nd->qn", q, d,
+                        preferred_element_type=jnp.float32)
+        return jax.lax.top_k(sc, TOPK)
+    so, ro = oracle(docs, tiles[0][:8])
+    np.testing.assert_array_equal(np.asarray(so, np.float32), s0[:8])
+    log("exactness oracle: chunked top-k == full matmul top-k")
+
+    # depth-2 pipeline with whole-buffer reads
+    t0 = time.perf_counter()
+    n_cert = 0
+    pending = None
+
+    def drain(p):
+        nonlocal n_cert
+        _ = np.asarray(p[0]); _ = np.asarray(p[1])
+        n_cert += int(np.asarray(p[2]).sum())
+
+    for q in tiles[1:]:
+        cur = dispatch(q)
+        if pending is not None:
+            drain(pending)
+        pending = cur
+    drain(pending)
+    dt = time.perf_counter() - t0
+    nq_total = TILE * N_TILES_TIMED
+    qps = nq_total / dt
+    log(f"{nq_total} queries in {dt:.2f}s -> {qps:.1f} QPS "
+        f"({dt/N_TILES_TIMED*1e3:.0f} ms per {TILE}-query tile, "
+        f"certified {n_cert}/{nq_total}); "
+        f"sample top score {s0[0,0]:.4f} @ row {r0[0,0]}")
+
+    # host-BLAS baseline (the faiss-cpu exact-scan shape) on this host
+    docs_cpu = rng.standard_normal((CPU_SLICE, D)).astype(np.float32)
+    q_cpu = np.asarray(tiles[1], np.float32)[:64]
+    t0 = time.perf_counter()
+    sc = q_cpu @ docs_cpu.T
+    _ = np.argpartition(-sc, TOPK, axis=1)[:, :TOPK]
+    dt_cpu = time.perf_counter() - t0
+    qps_cpu = len(q_cpu) / (dt_cpu * (N_DOCS / CPU_SLICE))
+    log(f"host BLAS baseline: {qps_cpu:.1f} QPS scaled to {N_DOCS} docs")
+
+    print(json.dumps({
+        "metric": "dense_retrieval_qps_2M_docs",
+        "value": round(qps, 1),
+        "unit": (f"queries/sec (2.1M docs x {D}-dim bf16 shard, top-1000, "
+                 f"exact IP, 1 chip; MSMARCO 8.8M docs = this per chip "
+                 f"doc-sharded over ~5 chips; host-BLAS exact scan on this "
+                 f"machine: {qps_cpu:.1f} QPS)"),
+        "vs_baseline": round(qps / max(qps_cpu, 1e-9), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -178,18 +178,30 @@ class MeshDenseRetriever:
         fn = make_sharded_dense_search(self.mesh, "data", k=k, chunk=self.chunk)
         q = np.asarray(query_vectors, np.float32)
         out = []
-        for start in range(0, q.shape[0], self.query_tile):
-            q_tile = q[start:start + self.query_tile]
-            pad = self.query_tile - q_tile.shape[0] if q.shape[0] > self.query_tile else 0
-            if pad:
-                q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
-            scores, rows = fn(docs_d, rows_d, jnp.asarray(q_tile, self.dtype))
-            scores = np.asarray(scores, np.float32)
-            rows = np.asarray(rows)
-            for qi in range(min(self.query_tile, q.shape[0] - start)):
+
+        # depth-2 pipeline: dispatch tile i+1 before reading tile i
+        # (whole-buffer reads; scalar reads would serialize — CLAUDE.md)
+        def _drain(payload, n_real):
+            scores = np.asarray(payload[0], np.float32)
+            rows = np.asarray(payload[1])
+            for qi in range(n_real):
                 valid = rows[qi] >= 0
                 out.append(([self.ids[r] for r in rows[qi][valid]],
                             scores[qi][valid].tolist()))
+
+        pending = None
+        for start in range(0, q.shape[0], self.query_tile):
+            q_tile = q[start:start + self.query_tile]
+            n_real = q_tile.shape[0]
+            pad = self.query_tile - n_real if q.shape[0] > self.query_tile else 0
+            if pad:
+                q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+            cur = (fn(docs_d, rows_d, jnp.asarray(q_tile, self.dtype)), n_real)
+            if pending is not None:
+                _drain(*pending)
+            pending = cur
+        if pending is not None:
+            _drain(*pending)
         return out
 
 

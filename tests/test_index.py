@@ -533,3 +533,66 @@ def test_sharded_segsort_engine(corpus_index):
         for r, s in zip(r2[i], s2[i]):
             if np.isfinite(s) and s > 0 and r < idx.nb_docs():
                 np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
+
+
+def test_dense_search_knn_tiled_matches_numpy():
+    """search_knn tiles queries (depth-2 pipelined); results must be
+    identical across tile boundaries and for the ragged final tile."""
+    rng = np.random.default_rng(3)
+    docs = rng.standard_normal((300, 16)).astype(np.float32)
+    q = rng.standard_normal((10, 16)).astype(np.float32)
+    idx = DenseFlatIndexer(dtype=jnp.float32, chunk=64, query_tile=4)
+    idx.init_index(16)
+    idx.add_batch([f"d{i}" for i in range(300)], docs)
+    res = idx.search_knn(q, 7)
+    want = q @ docs.T
+    assert len(res) == 10
+    for qi, (db_ids, scores) in enumerate(res):
+        order = np.argsort(-want[qi])[:7]
+        np.testing.assert_allclose(scores, want[qi][order], atol=1e-4)
+        assert db_ids == [f"d{i}" for i in order]
+
+
+def test_dense_blocked_selection_matches_direct():
+    """Block-local certified selection (selection="auto") returns exactly
+    the direct top-k whether or not the certificate fires (at these toy
+    block shapes it occasionally does; at production shapes — 4096-doc
+    blocks, k=1000 — it was measured to pass ~always)."""
+    rng = np.random.default_rng(11)
+    docs = rng.standard_normal((512, 16)).astype(np.float32)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    kw = dict(dtype=jnp.float32, chunk=64, query_tile=8,
+              block_m=4, sel_block=8)
+    fast = DenseFlatIndexer(selection="auto", **kw)
+    ref = DenseFlatIndexer(selection="direct", **kw)
+    for idx in (fast, ref):
+        idx.init_index(16)
+        idx.add_batch([f"d{i}" for i in range(512)], docs)
+    res_f = fast.search_knn(q, 9)
+    res_r = ref.search_knn(q, 9)
+    for (ids_f, s_f), (ids_r, s_r) in zip(res_f, res_r):
+        np.testing.assert_allclose(s_f, s_r, atol=1e-5)
+        assert ids_f == ids_r
+
+
+def test_dense_blocked_certificate_fallback_exact():
+    """Adversarial score concentration: one 8-doc block holds ALL top docs,
+    so the block-m certificate must fail and the exact fallback fire —
+    results still identical to direct."""
+    rng = np.random.default_rng(12)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    docs = rng.standard_normal((512, 16)).astype(np.float32) * 0.01
+    docs[:8] = q[0] * 10.0 + rng.standard_normal((8, 16)).astype(np.float32) * 0.01
+    kw = dict(dtype=jnp.float32, chunk=64, query_tile=8,
+              block_m=4, sel_block=8)
+    fast = DenseFlatIndexer(selection="auto", **kw)
+    ref = DenseFlatIndexer(selection="direct", **kw)
+    for idx in (fast, ref):
+        idx.init_index(16)
+        idx.add_batch([f"d{i}" for i in range(512)], docs.astype(np.float32))
+    res_f = fast.search_knn(q, 6)
+    res_r = ref.search_knn(q, 6)
+    assert fast.fallbacks >= 1
+    for (ids_f, s_f), (ids_r, s_r) in zip(res_f, res_r):
+        np.testing.assert_allclose(s_f, s_r, atol=1e-5)
+        assert ids_f == ids_r
