@@ -117,14 +117,12 @@ def main() -> None:
 
     # depth-2 pipeline: dispatch tile i+1 before the (blocking) host read of
     # tile i — the SparseRetrieval driver discipline
+    from scaling_retriever_tpu.utils.utils import depth2_pipeline
+
     t0 = time.perf_counter()
-    checks, pending = [], None
-    for qt, qv in tiles[1:]:
-        cur = dispatch(qt, qv)
-        if pending is not None:
-            checks.append(read(pending))
-        pending = cur
-    checks.append(read(pending))
+    checks = []
+    depth2_pipeline(tiles[1:], lambda t: dispatch(*t),
+                    lambda out: checks.append(read(out)))
     dt = time.perf_counter() - t0
     n_queries = TILE * N_TILES_TIMED
     qps = n_queries / dt

@@ -106,22 +106,24 @@ def main() -> None:
     log("exactness oracle: chunked top-k == full matmul top-k")
 
     # depth-2 pipeline with whole-buffer reads
+    from scaling_retriever_tpu.utils.utils import depth2_pipeline
+
     t0 = time.perf_counter()
     n_cert = 0
-    pending = None
 
     def drain(p):
         nonlocal n_cert
         _ = np.asarray(p[0]); _ = np.asarray(p[1])
         n_cert += int(np.asarray(p[2]).sum())
 
-    for q in tiles[1:]:
-        cur = dispatch(q)
-        if pending is not None:
-            drain(pending)
-        pending = cur
-    drain(pending)
+    depth2_pipeline(tiles[1:], dispatch, drain)
     dt = time.perf_counter() - t0
+    # the timed loop runs the certified path only; the "exact" label in the
+    # emitted metric is valid only if EVERY row certified (the library path
+    # falls back per tile; a bench that silently skipped that would publish
+    # a non-exact number)
+    assert n_cert == TILE * N_TILES_TIMED, \
+        f"uncertified rows ({n_cert}/{TILE*N_TILES_TIMED}): bench the direct path"
     nq_total = TILE * N_TILES_TIMED
     qps = nq_total / dt
     log(f"{nq_total} queries in {dt:.2f}s -> {qps:.1f} QPS "

@@ -334,20 +334,23 @@ def main() -> None:
 
     # depth-2 pipeline: dispatch tile i+1 before the host read of tile i
     # (the SparseRetrieval driver discipline)
+    from scaling_retriever_tpu.utils.utils import depth2_pipeline
+
+    last = {}
+
+    def seg_drain(pending):
+        (s_d, r_d, _), pqt, pqv, pn = pending
+        last["s"] = np.asarray(s_d, np.float32)[:pn]
+        last["r"] = np.asarray(r_d)[:pn]
+        last["qt"], last["qv"] = pqt[:pn], pqv[:pn]
+
     t0 = time.perf_counter()
-    pending = None
-    for qt, qv, b, n_real in seg_tiles:
-        cur = (seg_dispatch(qt, qv, b), qt, qv, n_real)
-        if pending is not None:
-            (s_d, r_d, _), pqt, pqv, pn = pending
-            s_seg0 = np.asarray(s_d, np.float32)[:pn]
-            r_seg0 = np.asarray(r_d)[:pn]
-            qt_seg_last, qv_seg_last = pqt[:pn], pqv[:pn]
-        pending = cur
-    (s_d, r_d, _), pqt, pqv, pn = pending
-    s_seg0 = np.asarray(s_d, np.float32)[:pn]
-    r_seg0 = np.asarray(r_d)[:pn]
-    qt_seg_last, qv_seg_last = pqt[:pn], pqv[:pn]
+    depth2_pipeline(
+        seg_tiles,
+        lambda t: (seg_dispatch(t[0], t[1], t[2]), t[0], t[1], t[3]),
+        seg_drain)
+    s_seg0, r_seg0 = last["s"], last["r"]
+    qt_seg_last, qv_seg_last = last["qt"], last["qv"]
     dt = time.perf_counter() - t0
     n_seg_q = int(sum(x[3] for x in seg_tiles))
     qps_seg = n_seg_q / dt

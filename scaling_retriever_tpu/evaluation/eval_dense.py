@@ -189,19 +189,18 @@ class MeshDenseRetriever:
                 out.append(([self.ids[r] for r in rows[qi][valid]],
                             scores[qi][valid].tolist()))
 
-        pending = None
-        for start in range(0, q.shape[0], self.query_tile):
+        def _dispatch(start):
             q_tile = q[start:start + self.query_tile]
             n_real = q_tile.shape[0]
             pad = self.query_tile - n_real if q.shape[0] > self.query_tile else 0
             if pad:
                 q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
-            cur = (fn(docs_d, rows_d, jnp.asarray(q_tile, self.dtype)), n_real)
-            if pending is not None:
-                _drain(*pending)
-            pending = cur
-        if pending is not None:
-            _drain(*pending)
+            return fn(docs_d, rows_d, jnp.asarray(q_tile, self.dtype)), n_real
+
+        from scaling_retriever_tpu.utils.utils import depth2_pipeline
+
+        depth2_pipeline(range(0, q.shape[0], self.query_tile), _dispatch,
+                        lambda p: _drain(*p))
         return out
 
 

@@ -254,7 +254,10 @@ class DenseFlatIndexer(DenseIndexer):
         def _drain(payload, q_dev, n_real):
             if blocked:
                 scores_d, rows_d, ok_d = payload
-                if not bool(np.asarray(ok_d).all()):
+                # certificate over the REAL rows only: padded zero-query
+                # rows always fail it (tau = 0, max_bm = 0) and would
+                # force the exact fallback on every ragged final tile
+                if not bool(np.asarray(ok_d)[:n_real].all()):
                     # uncertified row(s): rerun the tile on the always-exact
                     # direct path (certificate failures need score mass
                     # concentrated in one 4096-doc block — rare by layout)
@@ -270,8 +273,7 @@ class DenseFlatIndexer(DenseIndexer):
                 db_ids = [self.index_id_to_db_id[r] for r in rows[qi][valid]]
                 out.append((db_ids, scores[qi][valid].tolist()))
 
-        pending = None
-        for start in range(0, nq, tile):
+        def _dispatch(start):
             q_tile = q_all[start:start + tile]
             n_real = q_tile.shape[0]
             if nq > tile and n_real < tile:
@@ -283,12 +285,11 @@ class DenseFlatIndexer(DenseIndexer):
                     block=self.sel_block)
             else:
                 payload = _search_chunked(docs, q_dev, k=k, chunk=self.chunk)
-            cur = (payload, q_dev, n_real)
-            if pending is not None:
-                _drain(*pending)
-            pending = cur
-        if pending is not None:
-            _drain(*pending)
+            return payload, q_dev, n_real
+
+        from scaling_retriever_tpu.utils.utils import depth2_pipeline
+
+        depth2_pipeline(range(0, nq, tile), _dispatch, lambda p: _drain(*p))
         return out
 
     def serialize(self, index_dir: str, store_dtype=np.float32):

@@ -176,32 +176,32 @@ class SparseRetrieval:
                         if sc > threshold and row < self.n_docs:
                             res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
             else:
+                from scaling_retriever_tpu.utils.utils import depth2_pipeline
+
                 # depth-2 dispatch-ahead: dispatch tile i+1 before reading
                 # tile i's results, overlapping the host readback + run-dict
                 # fill with the next tile's device compute (JAX dispatch is
                 # async; the host read is the only sync point)
-                def _drain(sel, payload):
-                    scores, rows = self._seg.finalize(payload)
+                def _dispatch(start):
+                    sel = order[start:start + tile]
+                    q_tile = q_dense[sel]
+                    pad = tile - q_tile.shape[0]
+                    if pad:
+                        q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+                    with profile_span(f"{self.engine}_dispatch_tile"):
+                        return sel, self._seg.retrieve_tile_async(q_tile, topk)
+
+                def _drain(pending):
+                    sel, payload = pending
+                    with profile_span(f"{self.engine}_drain_tile"):
+                        scores, rows = self._seg.finalize(payload)
                     for local_qi, qi in enumerate(sel):
                         qid = qids[qi]
                         for row, sc in zip(rows[local_qi], scores[local_qi]):
                             if sc > threshold and row < self.n_docs:
                                 res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
 
-                pending = None
-                for start in range(0, nq, tile):
-                    sel = order[start:start + tile]
-                    q_tile = q_dense[sel]
-                    pad = tile - q_tile.shape[0]
-                    if pad:
-                        q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
-                    with profile_span(f"{self.engine}_retrieve_tile"):
-                        cur = (sel, self._seg.retrieve_tile_async(q_tile, topk))
-                        if pending is not None:
-                            _drain(*pending)
-                        pending = cur
-                if pending is not None:
-                    _drain(*pending)
+                depth2_pipeline(range(0, nq, tile), _dispatch, _drain)
         elif self.engine == "cpp":
             ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
             for qi, qid in enumerate(qids):

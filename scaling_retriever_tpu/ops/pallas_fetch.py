@@ -76,6 +76,52 @@ def _fetch_kernel(src_ref, rows_hbm, vals_hbm, rows_out, vals_out, sem):
         n2.start()
 
 
+def _job_table(src_al, prev_jobs, cum_jobs, region_start, region_end,
+               q_vals, jobs_per_query: int, use_scan: bool):
+    """(src_j, jv_start, jv_end, j_qv), each [nq, J]: per-job source
+    address, validity bounds, and query weight. Both implementations are
+    equivalent; the broadcast form materializes [nq, T, J] (one fused
+    reduction, ~free at typical buckets), the scan form keeps temporaries
+    at [nq, J] for huge-bucket tiles where [nq, T, J] would cross this
+    chip's >200 MB single-temporary stall line (CLAUDE.md)."""
+    nq, T = src_al.shape
+    slot = jnp.arange(jobs_per_query, dtype=jnp.int32)
+    if not use_scan:
+        within = ((slot[None, None, :] >= prev_jobs[:, :, None])
+                  & (slot[None, None, :] < cum_jobs[:, :, None]))    # [nq,T,J]
+        wi = within.astype(jnp.int32)
+
+        def pick_i(per_term):                                        # [nq, T]
+            return (wi * per_term[:, :, None]).sum(axis=1)
+
+        src_j = (wi * (src_al[:, :, None]
+                       + (slot[None, None, :] - prev_jobs[:, :, None]) * CHUNK)
+                 ).sum(axis=1)
+        return src_j, pick_i(region_start), pick_i(region_end), \
+            (within.astype(jnp.float32) * q_vals[:, :, None]).sum(axis=1)
+
+    def job_body(carry, xs):
+        src_c, jvs_c, jve_c, qv_c = carry
+        sa, pj, cj, rs, re, qv_t = xs                                # [nq]
+        within = ((slot[None] >= pj[:, None])
+                  & (slot[None] < cj[:, None]))                      # [nq, J]
+        src_c = jnp.where(within,
+                          sa[:, None] + (slot[None] - pj[:, None]) * CHUNK,
+                          src_c)
+        jvs_c = jnp.where(within, rs[:, None], jvs_c)
+        jve_c = jnp.where(within, re[:, None], jve_c)
+        qv_c = jnp.where(within, qv_t[:, None], qv_c)
+        return (src_c, jvs_c, jve_c, qv_c), None
+
+    zero_i = jnp.zeros((nq, jobs_per_query), jnp.int32)
+    (src_j, jv_start, jv_end, j_qv), _ = jax.lax.scan(
+        job_body, (zero_i, zero_i, zero_i,
+                   jnp.zeros((nq, jobs_per_query), jnp.float32)),
+        (src_al.T, prev_jobs.T, cum_jobs.T,
+         region_start.T, region_end.T, q_vals.T))
+    return src_j, jv_start, jv_end, j_qv
+
+
 @functools.partial(jax.jit, static_argnames=("jobs_per_query", "interpret"))
 def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
                        q_terms: jax.Array, offsets: jax.Array,
@@ -99,35 +145,20 @@ def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
     prev_jobs = jnp.concatenate(
         [jnp.zeros((nq, 1), jnp.int32), cum_jobs[:, :-1]], axis=1)
 
-    slot = jnp.arange(jobs_per_query, dtype=jnp.int32)
-
     # Per-JOB source addresses, validity bounds, and query weights (tiny
     # [nq, jobs_per_query] arrays): term t of query q is valid at padded
     # positions [prev_jobs*CHUNK + head, + len), which each job intersects
     # with its own [slot*CHUNK, (slot+1)*CHUNK) span. Downstream masking is
-    # then ONE elementwise pass over [nq, Pp].
-    #
-    # Built as a single broadcast-and-reduce over [nq, T, J] (each job slot
-    # belongs to at most one term, so a masked sum over T selects it) — a
-    # T-step lax.scan here cost a fixed ~33 ms per tile in sequential tiny-
-    # kernel launches, dominating the fetch; the job table is small enough
-    # ([nq, T, J] ≈ 2-8M elements) that one fused reduction is ~free.
+    # then ONE elementwise pass over [nq, Pp]. The builder picks the
+    # broadcast form below the 32M-element (128 MB int32) line and the
+    # [nq, J]-bounded scan above it; the branch is static (nq, T, J are
+    # trace-time constants).
     region_start = prev_jobs * CHUNK + head                          # [nq, T]
     region_end = region_start + lens
-
-    within = ((slot[None, None, :] >= prev_jobs[:, :, None])
-              & (slot[None, None, :] < cum_jobs[:, :, None]))        # [nq,T,J]
-    wi = within.astype(jnp.int32)
-
-    def pick_i(per_term):                                            # [nq, T]
-        return (wi * per_term[:, :, None]).sum(axis=1)
-
-    src_j = (wi * (src_al[:, :, None]
-                   + (slot[None, None, :] - prev_jobs[:, :, None]) * CHUNK)
-             ).sum(axis=1)
-    jv_start = pick_i(region_start)
-    jv_end = pick_i(region_end)
-    j_qv = (within.astype(jnp.float32) * q_vals[:, :, None]).sum(axis=1)
+    use_scan = nq * T * jobs_per_query > 32 * 1024 * 1024
+    src_j, jv_start, jv_end, j_qv = _job_table(
+        src_al, prev_jobs, cum_jobs, region_start, region_end, q_vals,
+        jobs_per_query, use_scan)
     # callers must pad the flat arrays by CHUNK (SegsortEngine does) so that
     # every aligned window [src_al, src_al + CHUNK) is in bounds; the clamp
     # below only guards idle job slots (src 0) and malformed offsets

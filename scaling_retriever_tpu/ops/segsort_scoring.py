@@ -303,15 +303,18 @@ class SegsortEngine:
 
             interpret = jax.default_backend() == "cpu"
             # exact per-tile job need from host-side offsets (a job-table
-            # overflow would silently drop postings): sum of per-term
-            # ceil((head + len) / CHUNK), rounded up to a multiple of 64 to
-            # bound recompiles
+            # overflow would silently drop postings), rounded up to a POWER
+            # OF TWO: jobs_per_query is a static arg, and on a power-law
+            # index the need varies ~100x across cost-sorted tiles — pow2
+            # bucketing bounds the compiled variants to ~log2(range) where
+            # multiples of 64 would trigger a fresh 10-140 s remote compile
+            # for nearly every tile
             starts = self._host_offsets[q_terms]
             lens = self._host_lens[q_terms] * (q_vals > 0)
             heads = starts % ALIGN
             need = int(np.max(np.sum(-(-(heads + lens) // CHUNK) * (lens > 0),
                                      axis=1)))
-            jobs_per_query = max(64, -(-need // 64) * 64)
+            jobs_per_query = max(64, 1 << int(np.ceil(np.log2(max(need, 1)))))
             scores, rows, total = segsort_retrieve_dma(
                 self.rows_flat, self.valbits_flat, self.offsets,
                 jnp.asarray(q_terms), jnp.asarray(q_vals), k=k,

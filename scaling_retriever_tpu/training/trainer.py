@@ -185,17 +185,28 @@ class Trainer:
         self.trainable = apply_shardings(trainable, self.trainable_shardings)
         self.opt_state = self.tx.init(self.trainable)
 
-        self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+        # the frozen base params enter the step as a jit ARGUMENT: closing
+        # over them embeds the full multi-GB tree as constants in the
+        # lowered program (JAX warns at 2.47 GB for the 1B recipe), which
+        # this environment must ship to the remote compile service —
+        # measured 20+ min of "compiling" vs seconds with an argument
+        self._jit_train_step = jax.jit(self._train_step,
+                                       donate_argnums=(1, 2))
+
+    def _jit_step(self, trainable, opt_state, batch, step):
+        """Compiled train step; base params passed explicitly (see above)."""
+        return self._jit_train_step(self.params, trainable, opt_state,
+                                    batch, step)
 
     # ------------------------------------------------------------------
 
-    def _combined_loss(self, trainable, batch, step):
+    def _combined_loss(self, trainable, params, batch, step):
         dropout_rng = None
         if self.use_lora and getattr(self.args, "lora_dropout", 0.0) > 0.0:
             dropout_rng = jax.random.fold_in(
                 jax.random.PRNGKey(self.args.seed), step)
         if self.use_lora:
-            task_losses = self.encoder.loss_forward(self.params, trainable,
+            task_losses = self.encoder.loss_forward(params, trainable,
                                                     batch, dropout_rng)
         else:
             task_losses = self.encoder.loss_forward(trainable, None, batch)
@@ -216,9 +227,9 @@ class Trainer:
                 weighted[name] = value  # metric-only (e.g. nce/kldiv splits)
         return total * args.loss_scale, weighted
 
-    def _train_step(self, trainable, opt_state, batch, step):
+    def _train_step(self, params, trainable, opt_state, batch, step):
         (loss, weighted), grads = jax.value_and_grad(
-            self._combined_loss, has_aux=True)(trainable, batch, step)
+            self._combined_loss, has_aux=True)(trainable, params, batch, step)
         updates, opt_state = self.tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         gnorm = optax.global_norm(grads)

@@ -49,6 +49,27 @@ def get_data_source(args) -> str:
     return "msmarco"
 
 
+def depth2_pipeline(items, dispatch, drain) -> None:
+    """Depth-2 dispatch-ahead driver discipline: dispatch item i+1 (async
+    JAX call returning device arrays) BEFORE draining item i (blocking host
+    reads), so the host readback of one tile overlaps the next tile's
+    device compute. Used by every retrieval driver and bench in the repo.
+
+    drain() MUST read whole device buffers (``np.asarray(x)``) — a scalar
+    read like ``float(x[0, 0])`` enqueues a device slice op that runs
+    AFTER the later-dispatched tile, degrading the pipeline to fully
+    serial (measured on this backend; see CLAUDE.md / PERFORMANCE.md).
+    """
+    pending = None
+    for item in items:
+        cur = dispatch(item)
+        if pending is not None:
+            drain(pending)
+        pending = cur
+    if pending is not None:
+        drain(pending)
+
+
 def sum_to_main(value, axis: str = "data"):
     """Sum a per-shard value onto every shard; inside shard_map/pjit this is
     one psum over ICI (reference utils.py:45-52 does dist.reduce to rank 0)."""

@@ -596,3 +596,58 @@ def test_dense_blocked_certificate_fallback_exact():
     for (ids_f, s_f), (ids_r, s_r) in zip(res_f, res_r):
         np.testing.assert_allclose(s_f, s_r, atol=1e-5)
         assert ids_f == ids_r
+
+
+def test_dense_blocked_ragged_tile_certificate_ignores_padding():
+    """Padded zero-query rows in a ragged final tile must not fail the
+    certificate (tau = 0, max_bm = 0 there) — regression: they forced the
+    exact fallback on every ragged tile."""
+    rng = np.random.default_rng(21)
+    docs = rng.standard_normal((512, 16)).astype(np.float32)
+    q = rng.standard_normal((10, 16)).astype(np.float32)  # 8 + ragged 2
+    kw = dict(dtype=jnp.float32, chunk=64, query_tile=8,
+              block_m=4, sel_block=8)
+    fast = DenseFlatIndexer(selection="auto", **kw)
+    ref = DenseFlatIndexer(selection="direct", **kw)
+    for idx in (fast, ref):
+        idx.init_index(16)
+        idx.add_batch([f"d{i}" for i in range(512)], docs)
+    res_f = fast.search_knn(q, 3)
+    res_r = ref.search_knn(q, 3)
+    assert len(res_f) == 10
+    # with k=3 over 512 well-spread docs the certificate must hold for
+    # every REAL row, including those in the ragged tile
+    assert fast.fallbacks == 0
+    for (ids_f, s_f), (ids_r, s_r) in zip(res_f, res_r):
+        np.testing.assert_allclose(s_f, s_r, atol=1e-5)
+        assert ids_f == ids_r
+
+
+def test_pallas_fetch_job_table_scan_equals_broadcast():
+    """The huge-bucket scan form of the DMA job-table builder must produce
+    bit-identical tables to the broadcast form (the size-based branch in
+    fetch_postings_dma is static, so only this direct check covers both)."""
+    from scaling_retriever_tpu.ops.pallas_fetch import (
+        ALIGN, CHUNK, _job_table,
+    )
+
+    rng = np.random.default_rng(5)
+    nq, T, J = 3, 6, 16
+    lens = rng.integers(0, 3 * CHUNK, (nq, T)).astype(np.int32)
+    lens[rng.random((nq, T)) < 0.3] = 0
+    starts = rng.integers(0, 1 << 20, (nq, T)).astype(np.int32)
+    q_vals = np.where(lens > 0, rng.uniform(0.1, 2.0, (nq, T)), 0.0
+                      ).astype(np.float32)
+    src_al = (starts // ALIGN) * ALIGN
+    head = starts - src_al
+    n_jobs = np.where(lens > 0, -(-(head + lens) // CHUNK), 0)
+    cum = np.cumsum(n_jobs, axis=1).astype(np.int32)
+    prev = np.concatenate([np.zeros((nq, 1), np.int32), cum[:, :-1]], axis=1)
+    rs = prev * CHUNK + head
+    re = rs + lens
+    args = tuple(jnp.asarray(x) for x in
+                 (src_al, prev, cum, rs, re, q_vals))
+    out_b = _job_table(*args, J, use_scan=False)
+    out_s = _job_table(*args, J, use_scan=True)
+    for b, s in zip(out_b, out_s):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(s))
