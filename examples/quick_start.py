@@ -42,4 +42,10 @@ def main(model_name_or_path: str, kind: str = "dense"):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(
+            "usage: python examples/quick_start.py <lora_adapter_dir> "
+            "[dense|sparse]\n"
+            "e.g. a local copy of hzeng/Lion-DS-1B-llama3-marco-mntp "
+            "(expected score matrices are pinned in BASELINE.md)")
     main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "dense")

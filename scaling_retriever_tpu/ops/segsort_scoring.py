@@ -178,7 +178,35 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
         [srow[:, :-1] != srow[:, 1:], jnp.ones((nq, 1), bool)], axis=1)
     score = jnp.where(is_end & (srow != sentinel), out, -jnp.inf)
 
-    top_scores, top_idx = jax.lax.top_k(score, k)
+    # lax.top_k over the full [nq, P] slab is a large share of tile time
+    # (same finding as the dense engine — PERFORMANCE.md): select the top-m
+    # of each 4096-slot block first and merge, certified exact when no
+    # block's m-th kept value reaches the merged k-th (dropped entries are
+    # bounded by their block's m-th). Scores sit at run-ends of the
+    # doc-id-sorted array, so the top-k spreads across blocks for any
+    # hash-like doc-id assignment; when the certificate fails (score mass
+    # concentrated in one doc-id range, or fewer than k real candidates so
+    # tau = -inf), an on-device lax.cond falls back to the direct top_k —
+    # results are ALWAYS exact, only speed varies.
+    P = score.shape[1]
+    SEL_BLOCK = 4096
+    B = P // SEL_BLOCK if P % SEL_BLOCK == 0 else 0
+    m = max(32, -(-k // max(B, 1)))
+    if B >= 4 and m <= SEL_BLOCK and B * m >= k:
+        s3 = score.reshape(nq, B, SEL_BLOCK)
+        bv, bi = jax.lax.top_k(s3, m)                       # [nq, B, m]
+        base = (jnp.arange(B, dtype=jnp.int32) * SEL_BLOCK)[None, :, None]
+        gi = (bi + base).reshape(nq, B * m)
+        v, sel = jax.lax.top_k(bv.reshape(nq, B * m), k)
+        gidx = jnp.take_along_axis(gi, sel, axis=1)
+        tau = v[:, k - 1]
+        ok_all = jnp.all(bv[:, :, m - 1] < tau[:, None])
+        top_scores, top_idx = jax.lax.cond(
+            ok_all,
+            lambda: (v, gidx),
+            lambda: tuple(jax.lax.top_k(score, k)))
+    else:
+        top_scores, top_idx = jax.lax.top_k(score, k)
     top_rows = jnp.take_along_axis(srow, top_idx, axis=1)
     return top_scores, top_rows
 
