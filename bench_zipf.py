@@ -295,8 +295,12 @@ def main() -> None:
     order = np.argsort(need_q, kind="stable")
     all_qt, all_qv, need_q = all_qt[order], all_qv[order], need_q[order]
 
-    def pow2_bucket(need: int) -> int:
-        return max(64, 1 << int(np.ceil(np.log2(max(need, 1)))))
+    # {2^k, 1.5*2^k} bucket grid shared with SegsortEngine: inflation over
+    # the true need is <= 1.33x (vs 2x for pure powers of two) — the sort
+    # dominates and scales with the bucket; all variants warm before timing
+    from scaling_retriever_tpu.ops.segsort_scoring import (
+        bucket_jobs as pow2_bucket,
+    )
 
     seg_tiles = []  # (qt [nq_pad, T], qv, bucket, n_real)
     s0 = 0

@@ -46,6 +46,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bucket_jobs(need: int) -> int:
+    """Round a per-tile DMA job need up to the {2^k, 1.5*2^k} grid.
+
+    jobs_per_query is a static jit arg; on a power-law index the need
+    varies ~100x across cost-sorted tiles, so the bucket grid trades
+    compiled variants against wasted sort input (the sort scales with the
+    bucket and dominates tile time). This grid bounds inflation at 1.33x
+    with ~2 variants per octave — measured +9.5% zipf QPS over pure powers
+    of two (PERFORMANCE.md), at twice the variant count of pow2 (each a
+    one-time 10-140 s remote compile, cached thereafter)."""
+    b = max(64, 1 << int(np.ceil(np.log2(max(need, 1)))))
+    b75 = (b // 4) * 3
+    return b75 if b75 >= max(need, 64) else b
+
+
 def pack_postings(offsets: np.ndarray, doc_rows: np.ndarray,
                   values: np.ndarray) -> np.ndarray:
     """CSR postings → packed int32 matrix [nnz, 2]: col0 doc_row, col1 value
@@ -164,7 +179,13 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
     run holds at most one posting per query term), run-end masking, top-k.
     """
     nq = rows.shape[0]
-    srow, scontrib = jax.lax.sort((rows, contrib), dimension=1, num_keys=1)
+    # unstable sort: 20% faster than the default stable sort on this chip
+    # (78 vs 98 ms at [64, 524288]); stability is irrelevant — a doc's run
+    # sums to the same score in any order (f32 rounding differences across
+    # equal keys are below the engine's comparison tolerances), and XLA is
+    # run-to-run deterministic either way
+    srow, scontrib = jax.lax.sort((rows, contrib), dimension=1, num_keys=1,
+                                  is_stable=False)
     out = scontrib
     shift = 1
     while shift < max_run:
@@ -331,18 +352,15 @@ class SegsortEngine:
 
             interpret = jax.default_backend() == "cpu"
             # exact per-tile job need from host-side offsets (a job-table
-            # overflow would silently drop postings), rounded up to a POWER
-            # OF TWO: jobs_per_query is a static arg, and on a power-law
-            # index the need varies ~100x across cost-sorted tiles — pow2
-            # bucketing bounds the compiled variants to ~log2(range) where
-            # multiples of 64 would trigger a fresh 10-140 s remote compile
-            # for nearly every tile
+            # overflow would silently drop postings), rounded up to the
+            # {2^k, 1.5*2^k} bucket grid (bucket_jobs above): bounded
+            # compiled variants, <= 1.33x sort-input inflation
             starts = self._host_offsets[q_terms]
             lens = self._host_lens[q_terms] * (q_vals > 0)
             heads = starts % ALIGN
             need = int(np.max(np.sum(-(-(heads + lens) // CHUNK) * (lens > 0),
                                      axis=1)))
-            jobs_per_query = max(64, 1 << int(np.ceil(np.log2(max(need, 1)))))
+            jobs_per_query = bucket_jobs(need)
             scores, rows, total = segsort_retrieve_dma(
                 self.rows_flat, self.valbits_flat, self.offsets,
                 jnp.asarray(q_terms), jnp.asarray(q_vals), k=k,
