@@ -298,16 +298,14 @@ def main() -> None:
     # {2^k, 1.5*2^k} bucket grid shared with SegsortEngine: inflation over
     # the true need is <= 1.33x (vs 2x for pure powers of two) — the sort
     # dominates and scales with the bucket; all variants warm before timing
-    from scaling_retriever_tpu.ops.segsort_scoring import (
-        bucket_jobs as pow2_bucket,
-    )
+    from scaling_retriever_tpu.ops.segsort_scoring import bucket_jobs
 
     seg_tiles = []  # (qt [nq_pad, T], qv, bucket, n_real)
     s0 = 0
     while s0 < len(all_qt):
         for nq_try in (64, 32, 16):
             hi = min(s0 + nq_try, len(all_qt))
-            bucket = pow2_bucket(int(need_q[s0:hi].max()))
+            bucket = bucket_jobs(int(need_q[s0:hi].max()))
             if nq_try * bucket <= S_SLOTS or nq_try == 16:
                 qt, qv = all_qt[s0:hi], all_qv[s0:hi]
                 pad = nq_try - qt.shape[0]

@@ -221,9 +221,16 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
         v, sel = jax.lax.top_k(bv.reshape(nq, B * m), k)
         gidx = jnp.take_along_axis(gi, sel, axis=1)
         tau = v[:, k - 1]
-        ok_all = jnp.all(bv[:, :, m - 1] < tau[:, None])
+        # per-row certificate; rows with NO finite score at all (padded
+        # zero queries in a ragged tile, or a query matching nothing) are
+        # exempt — their blocked output is all--inf exactly like direct's,
+        # and without the exemption tau = -inf would fail the whole tile
+        # and silently disable the fast path on every ragged tile (the
+        # dense engine's ragged-tile regression)
+        row_empty = ~jnp.isfinite(v[:, 0])
+        row_ok = (bv[:, :, m - 1] < tau[:, None]).all(axis=1) | row_empty
         top_scores, top_idx = jax.lax.cond(
-            ok_all,
+            jnp.all(row_ok),
             lambda: (v, gidx),
             lambda: tuple(jax.lax.top_k(score, k)))
     else:

@@ -651,3 +651,69 @@ def test_pallas_fetch_job_table_scan_equals_broadcast():
     out_s = _job_table(*args, J, use_scan=True)
     for b, s in zip(out_b, out_s):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(s))
+
+
+def _rank_tail_expected(rows, contrib, sentinel, k):
+    """numpy oracle: per-query group-sum by row, top-k by score."""
+    nq = rows.shape[0]
+    out_s = np.full((nq, k), -np.inf, np.float32)
+    out_r = np.zeros((nq, k), np.int64)
+    for qi in range(nq):
+        sums = {}
+        for r, c in zip(rows[qi], contrib[qi]):
+            if r != sentinel:
+                sums[int(r)] = sums.get(int(r), 0.0) + float(c)
+        top = sorted(sums.items(), key=lambda kv: -kv[1])[:k]
+        for j, (r, s) in enumerate(top):
+            out_s[qi, j] = s
+            out_r[qi, j] = r
+    return out_s, out_r
+
+
+def _rank_tail_check(rows, contrib, sentinel, k):
+    from scaling_retriever_tpu.ops.segsort_scoring import _rank_tail
+
+    s, r = _rank_tail(jnp.asarray(rows), jnp.asarray(contrib),
+                      jnp.int32(sentinel), k, 64)
+    s = np.asarray(s, np.float32)
+    r = np.asarray(r)
+    want_s, want_r = _rank_tail_expected(rows, contrib, sentinel, k)
+    for qi in range(rows.shape[0]):
+        valid = np.isfinite(want_s[qi])
+        np.testing.assert_allclose(s[qi][valid], want_s[qi][valid],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(r[qi][valid], want_r[qi][valid])
+        assert not np.isfinite(s[qi][~valid]).any()
+
+
+def test_rank_tail_blocked_selection_certified_path():
+    """Spread-out scores + a padded all-sentinel query: the certificate
+    passes (padding rows exempt) and the blocked selection is exact."""
+    rng = np.random.default_rng(9)
+    nq, P, k, sentinel = 2, 16384, 100, 1_000_000
+    rows = np.full((nq, P), sentinel, np.int32)
+    contrib = np.zeros((nq, P), np.float32)
+    n0 = 2000
+    rows[0, :n0] = rng.choice(900_000, n0, replace=False)
+    contrib[0, :n0] = rng.uniform(0.1, 2.0, n0)
+    # row 1: all sentinel (padded zero query) — must not disable the tile
+    _rank_tail_check(rows, contrib, sentinel, k)
+
+
+def test_rank_tail_blocked_selection_fallback_exact():
+    """k=100 > block_m=32 with the top docs concentrated in a 150-id range
+    (one 4096-slot block after the row sort): the block can keep only 32 of
+    them, so the certificate MUST fail and the lax.cond fallback fire — a
+    flipped certificate inequality would return blocked results that drop
+    docs and break this test."""
+    rng = np.random.default_rng(10)
+    nq, P, k, sentinel = 2, 16384, 100, 1_000_000
+    rows = np.full((nq, P), sentinel, np.int32)
+    contrib = np.zeros((nq, P), np.float32)
+    n0 = 2000
+    rows[0, :n0] = rng.choice(900_000, n0, replace=False)
+    contrib[0, :n0] = rng.uniform(0.1, 2.0, n0)
+    n1 = 3000
+    rows[1, :n1] = rng.integers(500_000, 500_150, n1)
+    contrib[1, :n1] = rng.uniform(0.1, 2.0, n1)
+    _rank_tail_check(rows, contrib, sentinel, k)
