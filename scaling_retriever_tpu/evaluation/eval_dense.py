@@ -177,17 +177,15 @@ class MeshDenseRetriever:
         k = min(top_docs, n)
         fn = make_sharded_dense_search(self.mesh, "data", k=k, chunk=self.chunk)
         q = np.asarray(query_vectors, np.float32)
-        out = []
+        tiles = []
 
         # depth-2 pipeline: dispatch tile i+1 before reading tile i
-        # (whole-buffer reads; scalar reads would serialize — CLAUDE.md)
+        # (whole-buffer reads; scalar reads would serialize — CLAUDE.md).
+        # The drain stays array-native: the per-entry id mapping runs once
+        # after the pipeline, off the critical path.
         def _drain(payload, n_real):
-            scores = np.asarray(payload[0], np.float32)
-            rows = np.asarray(payload[1])
-            for qi in range(n_real):
-                valid = rows[qi] >= 0
-                out.append(([self.ids[r] for r in rows[qi][valid]],
-                            scores[qi][valid].tolist()))
+            tiles.append((np.asarray(payload[0], np.float32),
+                          np.asarray(payload[1]), n_real))
 
         def _dispatch(start):
             q_tile = q[start:start + self.query_tile]
@@ -201,6 +199,14 @@ class MeshDenseRetriever:
 
         depth2_pipeline(range(0, q.shape[0], self.query_tile), _dispatch,
                         lambda p: _drain(*p))
+
+        id_map = np.asarray(self.ids, dtype=object)
+        out = []
+        for scores, rows, n_real in tiles:
+            for qi in range(n_real):
+                valid = rows[qi] >= 0
+                out.append((id_map[rows[qi][valid]].tolist(),
+                            scores[qi][valid].tolist()))
         return out
 
 

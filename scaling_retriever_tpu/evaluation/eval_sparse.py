@@ -48,8 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query_max_length", type=int, default=64)
     p.add_argument("--top_k", type=int, default=1000)
     p.add_argument("--task_name", required=True,
-                   choices=["indexing", "retrieval", "evaluate_msmarco",
-                            "evaluate_beir"])
+                   choices=["indexing", "encode_queries", "retrieval",
+                            "evaluate_msmarco", "evaluate_beir"])
+    p.add_argument("--query_reps_path", default=None,
+                   help="npz with pre-encoded query reps (keys: ids, reps) "
+                        "written by --task_name encode_queries; retrieval "
+                        "then skips the encoder — the sparse analog of the "
+                        "dense CLI's write_doc_embeds/retrieval split")
     p.add_argument("--eval_qrel_path", default="")
     p.add_argument("--eval_run_path", default="")
     p.add_argument("--eval_metric", default="",
@@ -126,7 +131,17 @@ def sparse_index(args) -> None:
                   rank=args.rank, world_size=args.world_size).index(loader)
 
 
-def sparse_retrieval(args) -> None:
+def _query_loader(args, use_reps: bool = True):
+    """Tokenized query loader, or — with ``--query_reps_path`` — batches of
+    pre-encoded dense reps ({"rep", "ids"}) that skip the encoder."""
+    if use_reps and args.query_reps_path:
+        import numpy as np
+
+        data = np.load(args.query_reps_path, allow_pickle=True)
+        reps, ids = data["reps"], data["ids"].tolist()
+        bz = args.eval_batch_size
+        return [{"rep": reps[i:i + bz], "ids": ids[i:i + bz]}
+                for i in range(0, len(ids), bz)]
     tokenizer = _tokenizer(args)
     if args.is_beir and args.beir_dataset:
         _, queries, _ = load_beir_dataset(_beir_path(args))
@@ -135,9 +150,34 @@ def sparse_retrieval(args) -> None:
         source = args.data_source or constants.guess_data_source(args.query_path)
         q_collection = (WikiQueryDataset(args.query_path) if source == "wiki"
                         else MSMARCOQueryDataset(args.query_path))
-    model = _load_model(args)
     collator = LlamaSparseCollectionCollator(tokenizer, args.query_max_length)
-    loader = DataLoader(q_collection, args.eval_batch_size, collator)
+    return DataLoader(q_collection, args.eval_batch_size, collator)
+
+
+def encode_queries(args) -> None:
+    """Encode the query stream once and write (ids, reps) to
+    ``--query_reps_path`` (default: out_dir/query_reps.npz)."""
+    import numpy as np
+
+    loader = _query_loader(args, use_reps=False)
+    model = _load_model(args)
+    qids, reps = [], []
+    for batch in loader:
+        reps.append(np.asarray(
+            model.encode(batch["input_ids"], batch["attention_mask"]),
+            np.float32))
+        ids = batch["ids"]
+        qids.extend(ids if isinstance(ids, list) else list(ids))
+    out = args.query_reps_path or os.path.join(args.out_dir, "query_reps.npz")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    np.savez(out, ids=np.asarray(qids, dtype=object),
+             reps=(np.concatenate(reps, 0) if reps
+                   else np.zeros((0, 0), np.float32)))
+
+
+def sparse_retrieval(args) -> None:
+    loader = _query_loader(args)
+    model = None if args.query_reps_path else _load_model(args)
     mesh = None
     if args.use_mesh:
         import jax
@@ -167,6 +207,8 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.task_name == "indexing":
         sparse_index(args)
+    elif args.task_name == "encode_queries":
+        encode_queries(args)
     elif args.task_name == "retrieval":
         sparse_retrieval(args)
     elif args.task_name == "evaluate_msmarco":

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 import os
-from collections import defaultdict
+import time
 from typing import Iterable, Optional
 
 import jax
@@ -40,12 +40,14 @@ from scaling_retriever_tpu.index.inverted_index import SparseIndex
 from scaling_retriever_tpu.ops.sparse_scoring import (
     pad_docs, retrieve_doc_major, make_sharded_retrieve,
 )
+from scaling_retriever_tpu.utils.run_accum import RunAccumulator
 
 
 def resolve_engine(engine: str, backend: Optional[str] = None) -> str:
     """Resolve "auto" to a concrete engine: segsort on an accelerator (the
-    measured fast path — 17-47x the CPU baseline at MSMARCO scale,
-    PERFORMANCE.md), the XLA doc-major scan on CPU where tiny test indexes
+    measured fast path — 45.6x the CPU baseline on a power-law index with
+    MSMARCO-calibrated queries, 76-91x on uniform lists; PERFORMANCE.md has
+    the full table), the XLA doc-major scan on CPU where tiny test indexes
     and interpret-mode Pallas make segsort the wrong default."""
     if engine != "auto":
         return engine
@@ -124,12 +126,18 @@ class SparseRetrieval:
     def _encode_queries(self, q_loader: Iterable) -> tuple[list, list]:
         """Encode query batches → (qids, list of dense rep rows [V])
         (reference _generate_query_vecs, indexer.py:382-403 — but reps stay
-        dense; the sparse extraction happens only for stats)."""
+        dense; the sparse extraction happens only for stats). Batches that
+        already carry a dense ``rep`` array (pre-encoded queries, e.g. the
+        eval_sparse ``--query_reps_path`` two-stage flow mirroring the dense
+        CLI's write_doc_embeds/retrieval split) skip the model."""
         qids, reps = [], []
         for batch in q_loader:
-            r = np.asarray(
-                self.model.encode(batch["input_ids"], batch["attention_mask"]),
-                np.float32)
+            if "rep" in batch:
+                r = np.asarray(batch["rep"], np.float32)
+            else:
+                r = np.asarray(
+                    self.model.encode(batch["input_ids"], batch["attention_mask"]),
+                    np.float32)
             reps.append(r)
             ids = batch["ids"]
             qids.extend(ids if isinstance(ids, list) else list(ids))
@@ -138,16 +146,26 @@ class SparseRetrieval:
     def retrieve(self, q_loader: Iterable, topk: Optional[int] = None,
                  threshold: float = 0.0, return_run: bool = True) -> tuple[dict, dict]:
         """Run retrieval; writes run.json + q_stats.json when out_dir is set
-        (reference indexer.py:530-540)."""
+        (reference indexer.py:530-540).
+
+        The tile drains are array-native (RunAccumulator): the depth-2
+        pipeline's drain must stay cheaper than a device tile or the
+        pipeline degrades to host-bound — a per-entry Python dict fill
+        measured 209 ms per 64x1000 tile vs the ~89 ms device tile;
+        numpy masking + deferred stringification is ~0.08 ms.
+        """
         from scaling_retriever_tpu.utils.profiling import profile_span
 
         topk = topk or self.topk
+        t0 = time.perf_counter()
         with profile_span("query_encode"):
             qids, q_dense = self._encode_queries(q_loader)
+        t_enc = time.perf_counter()
         nq = len(qids)
         stats = {"L0_q": float((q_dense != 0).sum(axis=-1).mean()) if nq else 0.0}
 
-        res: dict = defaultdict(dict)
+        acc = RunAccumulator(qids, self.index.doc_ids, self.n_docs,
+                             threshold=threshold)
         if self.engine in ("segsort", "maxscore"):
             tile = self.query_tile
             # cost-sorted scheduling: power-law indexes make per-query work
@@ -170,18 +188,15 @@ class SparseRetrieval:
                 with profile_span("maxscore_retrieve_batch"):
                     scores, rows = self._seg.retrieve_batch(
                         q_dense[order], topk, tile=tile)
-                for pos, qi in enumerate(order):
-                    qid = qids[qi]
-                    for row, sc in zip(rows[pos], scores[pos]):
-                        if sc > threshold and row < self.n_docs:
-                            res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+                acc.add_tile(order, rows, scores)
             else:
                 from scaling_retriever_tpu.utils.utils import depth2_pipeline
 
                 # depth-2 dispatch-ahead: dispatch tile i+1 before reading
-                # tile i's results, overlapping the host readback + run-dict
-                # fill with the next tile's device compute (JAX dispatch is
-                # async; the host read is the only sync point)
+                # tile i's results, overlapping the host readback + the
+                # array-native accumulation with the next tile's device
+                # compute (JAX dispatch is async; the host read is the only
+                # sync point)
                 def _dispatch(start):
                     sel = order[start:start + tile]
                     q_tile = q_dense[sel]
@@ -195,20 +210,13 @@ class SparseRetrieval:
                     sel, payload = pending
                     with profile_span(f"{self.engine}_drain_tile"):
                         scores, rows = self._seg.finalize(payload)
-                    for local_qi, qi in enumerate(sel):
-                        qid = qids[qi]
-                        for row, sc in zip(rows[local_qi], scores[local_qi]):
-                            if sc > threshold and row < self.n_docs:
-                                res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+                    acc.add_tile(sel, rows[:len(sel)], scores[:len(sel)])
 
                 depth2_pipeline(range(0, nq, tile), _dispatch, _drain)
         elif self.engine == "cpp":
             ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
-            for qi, qid in enumerate(qids):
-                for row, sc in zip(ids_k[qi], scores_k[qi]):
-                    if row < 0:
-                        break
-                    res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+            # the C++ engine applied the threshold itself and pads with -1
+            acc.add_tile(np.arange(nq), ids_k, scores_k, valid=ids_k >= 0)
         else:
             tile = self.query_tile
             for start in range(0, nq, tile):
@@ -225,18 +233,23 @@ class SparseRetrieval:
                         scores, rows = retrieve_doc_major(
                             self.terms, self.vals, q_t,
                             k=min(topk, self.n_docs), block=self.block)
-                scores = np.asarray(scores, np.float32)
-                rows = np.asarray(rows)
-                for local_qi in range(min(tile, nq - start)):
-                    qid = qids[start + local_qi]
-                    for row, sc in zip(rows[local_qi], scores[local_qi]):
-                        if sc > threshold and row < self.n_docs:
-                            res[str(qid)][str(self.index.doc_ids[row])] = float(sc)
+                n_real = min(tile, nq - start)
+                acc.add_tile(np.arange(start, start + n_real),
+                             np.asarray(rows)[:n_real],
+                             np.asarray(scores, np.float32)[:n_real])
 
+        t_ret = time.perf_counter()
+        stats["encode_s"] = round(t_enc - t0, 4)
+        stats["retrieval_s"] = round(t_ret - t_enc, 4)
+        stats["retrieval_qps"] = round(nq / max(t_ret - t_enc, 1e-9), 2)
+        res = None
+        if self.out_dir or return_run:
+            with profile_span("run_dict_build"):
+                res = acc.to_run()
         if self.out_dir:
             os.makedirs(self.out_dir, exist_ok=True)
             with open(os.path.join(self.out_dir, "run.json"), "w") as f:
                 json.dump(res, f)
             with open(os.path.join(self.out_dir, "q_stats.json"), "w") as f:
                 json.dump(stats, f)
-        return (dict(res), stats) if return_run else ({}, stats)
+        return (res, stats) if return_run else ({}, stats)

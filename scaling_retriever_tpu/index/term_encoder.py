@@ -66,20 +66,22 @@ class TermEncoderRetriever:
         terms, vals = pad_docs(terms, vals, self.block)
         n_docs = enc.shape[0]
 
-        run: dict = {}
+        from scaling_retriever_tpu.utils.run_accum import RunAccumulator
+
+        all_qids: list = []
+        acc = RunAccumulator(all_qids, docids, n_docs, threshold=None,
+                             keep_empty=True)
         for batch in collection_loader:
             preds = self._lex_encode(batch)
             k = min(topk, n_docs)
             scores, rows = retrieve_doc_major(terms, vals, jnp.asarray(preds.T),
                                               k=k, block=self.block)
-            scores = np.asarray(scores, np.float32)
-            rows = np.asarray(rows)
             qids = batch.get("queries", batch.get("ids"))
-            for qi, qid in enumerate(qids):
-                run[str(qid)] = {
-                    str(docids[r]): float(s)
-                    for r, s in zip(rows[qi], scores[qi]) if r < n_docs
-                }
+            start = len(all_qids)
+            all_qids.extend(qids)
+            acc.add_tile(np.arange(start, start + len(qids)),
+                         np.asarray(rows), np.asarray(scores, np.float32))
+        run = acc.to_run()
         name = run_name or "run.json"
         with open(os.path.join(out_dir, name), "w") as f:
             json.dump(run, f)

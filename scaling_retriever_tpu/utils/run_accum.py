@@ -1,0 +1,89 @@
+"""Array-native run accumulation for the retrieval drivers.
+
+The retrieval pipelines (index/sparse_retrieval.py, index/dense_index.py,
+evaluation/eval_dense.py) drain device tiles on the critical path of a
+depth-2 dispatch-ahead pipeline: whatever the drain does is serialized
+against the next tile's device compute. A per-entry Python run-dict fill
+(``res[str(qid)][str(doc_id)] = float(score)`` over nq x k entries) costs
+~209 ms per 64x1000 tile on this host — more than the ~89 ms device tile
+itself, capping the production path at ~306 QPS no matter how fast the
+engine is. The fix is to keep the drain array-native: apply the
+threshold/validity mask in numpy (~0.08 ms per tile measured) and hold the
+per-tile (query indices, doc rows, scores) arrays; stringification happens
+once, after the pipeline, at run-dict build / run.json write time.
+
+Reference behavior matched: ``scaling_retriever/indexer.py:530-540`` builds
+the same ``{qid: {doc_id: score}}`` run dict and writes run.json.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class RunAccumulator:
+    """Accumulates per-tile top-k arrays; defers the run-dict build.
+
+    Parameters
+    ----------
+    qids : sequence of query ids (any type; stringified at build time)
+    doc_ids : array-like mapping doc row -> doc id (stringified at build
+        time; rows are masked before indexing so a sentinel row ``n_docs``
+        never touches it)
+    n_docs : rows >= n_docs are invalid (engine sentinel / padding)
+    threshold : keep only scores strictly above it (None = no score filter,
+        for engines that already applied their own threshold)
+    keep_empty : emit ``{qid: {}}`` for queries with no surviving entries
+        instead of omitting the key (TermEncoderRetriever's contract)
+    """
+
+    def __init__(self, qids: Sequence, doc_ids, n_docs: int,
+                 threshold: Optional[float] = 0.0, keep_empty: bool = False):
+        self.qids = qids
+        self.doc_ids = np.asarray(doc_ids)
+        self.n_docs = n_docs
+        self.threshold = threshold
+        self.keep_empty = keep_empty
+        self._tiles: list = []
+
+    def add_tile(self, q_idx, rows, scores, valid=None) -> None:
+        """Record one tile: q_idx [m] global query indices, rows/scores
+        [m, k]. numpy-only — safe on the pipeline drain path."""
+        q_idx = np.asarray(q_idx)
+        rows = np.asarray(rows)
+        scores = np.asarray(scores, np.float32)
+        if valid is None:
+            valid = (rows >= 0) & (rows < self.n_docs) & np.isfinite(scores)
+            if self.threshold is not None:
+                valid &= scores > self.threshold
+        self._tiles.append((q_idx, rows, scores, np.asarray(valid)))
+
+    def __len__(self) -> int:
+        return sum(t[0].shape[0] for t in self._tiles)
+
+    def to_run(self) -> dict:
+        """Build the ``{str(qid): {str(doc_id): float(score)}}`` run dict.
+
+        Queries with zero surviving entries are omitted, matching the
+        per-entry fill this replaces (and the reference's defaultdict
+        behavior: a qid key only appears once an entry is inserted).
+        Bulk ``tolist``/``zip`` conversion runs at C speed — ~100x cheaper
+        than per-entry ``str()``/``float()`` calls, and off the pipeline's
+        critical path entirely.
+        """
+        res: dict = {}
+        for q_idx, rows, scores, valid in self._tiles:
+            for i, qi in enumerate(q_idx):
+                v = valid[i]
+                if not v.any():
+                    if self.keep_empty:
+                        res[str(self.qids[qi])] = {}
+                    continue
+                ids = self.doc_ids[rows[i][v]].tolist()
+                if not isinstance(ids[0], str):
+                    ids = [str(d) for d in ids]
+                res[str(self.qids[qi])] = dict(
+                    zip(ids, scores[i][v].astype(np.float64).tolist()))
+        return res
