@@ -169,6 +169,25 @@ def segsort_retrieve(packed: jax.Array, offsets: jax.Array,
     return top_scores, top_rows, total
 
 
+def _blocked_certificate(bv: jax.Array, v: jax.Array, m: int, k: int
+                         ) -> jax.Array:
+    """Exactness certificate for the block-local selection: bv [nq, B, m]
+    per-block kept values (descending), v [nq, k] merged top-k. Row q is
+    certified when every block either (a) has its m-th kept value strictly
+    below the merged k-th (any dropped entry is bounded by the block's m-th,
+    so nothing dropped can belong to the true top-k), or (b) kept ALL its
+    finite candidates (m-th kept value is -inf — nothing finite was dropped,
+    so the block cannot violate exactness regardless of tau). Exemption (b)
+    covers both fully-empty rows (padded zero queries in a ragged tile) and
+    rows with 0 < finite candidates < k (rare-term queries at k=1000, common
+    in cost-sorted low-need tiles) whose tau = -inf would otherwise fail the
+    certificate and silently drop the whole tile to the full-slab top_k —
+    exactly where tiles are cheap (ADVICE r2)."""
+    tau = v[:, k - 1]
+    bm = bv[:, :, m - 1]
+    return ((bm < tau[:, None]) | ~jnp.isfinite(bm)).all(axis=1)
+
+
 def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
                k: int, max_run: int) -> tuple[jax.Array, jax.Array]:
     """(rows, contrib) [nq, P] → (scores, rows) [nq, k].
@@ -220,15 +239,7 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
         gi = (bi + base).reshape(nq, B * m)
         v, sel = jax.lax.top_k(bv.reshape(nq, B * m), k)
         gidx = jnp.take_along_axis(gi, sel, axis=1)
-        tau = v[:, k - 1]
-        # per-row certificate; rows with NO finite score at all (padded
-        # zero queries in a ragged tile, or a query matching nothing) are
-        # exempt — their blocked output is all--inf exactly like direct's,
-        # and without the exemption tau = -inf would fail the whole tile
-        # and silently disable the fast path on every ragged tile (the
-        # dense engine's ragged-tile regression)
-        row_empty = ~jnp.isfinite(v[:, 0])
-        row_ok = (bv[:, :, m - 1] < tau[:, None]).all(axis=1) | row_empty
+        row_ok = _blocked_certificate(bv, v, m, k)
         top_scores, top_idx = jax.lax.cond(
             jnp.all(row_ok),
             lambda: (v, gidx),

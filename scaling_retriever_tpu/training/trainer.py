@@ -183,6 +183,15 @@ class Trainer:
         self.trainable_shardings = (replicated_shardings(trainable, self.mesh)
                                     if self.use_lora else self.param_shardings)
         self.trainable = apply_shardings(trainable, self.trainable_shardings)
+        if not self.use_lora:
+            # non-LoRA: the full tree IS the trainable. device_put with an
+            # identical sharding returns the SAME buffers, so self.params
+            # would alias the donated arg-1 tree — step 1's donation would
+            # invalidate it, and any use of params inside the non-LoRA trace
+            # would crash with "donate a buffer which is also used by the
+            # same call to Execute()". An empty tree makes misuse loud
+            # (KeyError at trace time) instead of donation-dependent.
+            self.params = {}
         self.opt_state = self.tx.init(self.trainable)
 
         # the frozen base params enter the step as a jit ARGUMENT: closing

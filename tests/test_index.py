@@ -717,3 +717,32 @@ def test_rank_tail_blocked_selection_fallback_exact():
     rows[1, :n1] = rng.integers(500_000, 500_150, n1)
     contrib[1, :n1] = rng.uniform(0.1, 2.0, n1)
     _rank_tail_check(rows, contrib, sentinel, k)
+
+
+def test_segsort_blocked_certificate_underfilled_row():
+    """A row with 0 < finite candidates < k has tau = -inf; blocks that kept
+    ALL their finite candidates (m-th kept value -inf) are exempt, so such a
+    row must still certify instead of dropping the whole tile to the
+    full-slab top_k (ADVICE r2 #2). Rows where a block genuinely dropped a
+    finite candidate while tau = -inf must NOT certify."""
+    import jax.numpy as jnp
+    from scaling_retriever_tpu.ops.segsort_scoring import _blocked_certificate
+
+    m, k = 3, 4
+    # row 0: 2 finite candidates total (< k) spread over 2 blocks, every
+    # block's m-th kept value is -inf -> certified
+    # row 1: plenty of candidates, all blocks bounded below tau -> certified
+    # row 2: tau = -inf but block 0 dropped a finite candidate (its m-th
+    # kept value is finite) -> NOT certified
+    bv = jnp.array([
+        [[5.0, -jnp.inf, -jnp.inf], [3.0, -jnp.inf, -jnp.inf]],
+        [[9.0, 8.0, 1.0], [7.0, 6.0, 1.5]],
+        [[5.0, 4.0, 3.0], [-jnp.inf, -jnp.inf, -jnp.inf]],
+    ])
+    v = jnp.array([
+        [5.0, 3.0, -jnp.inf, -jnp.inf],
+        [9.0, 8.0, 7.0, 6.0],
+        [5.0, 4.0, 3.0, -jnp.inf],
+    ])
+    ok = np.asarray(_blocked_certificate(bv, v, m, k))
+    assert ok.tolist() == [True, True, False]

@@ -378,3 +378,20 @@ def test_auto_resume_after_crash(model_dir, tmp_path):
     tr2.train()
     assert tr2.step == 6
     assert os.path.isdir(os.path.join(str(tmp_path), "checkpoint-6"))
+
+
+def test_non_lora_no_params_alias(model_dir, tmp_path):
+    """Non-LoRA: the full tree is the trainable (donated arg 1). Trainer
+    must not keep an alias to it as self.params — device_put with identical
+    shardings returns the SAME buffers, so the alias would be invalidated by
+    step 1's donation and any future use of params in the non-LoRA trace
+    would crash with a donation INVALID_ARGUMENT (ADVICE r2 #1)."""
+    args = _args(tmp_path, max_steps=3, logging_steps=1, lora=False)
+    enc = LlamaBiSparse.build(model_dir, args)
+    tr = Trainer(enc, args, ListLoader(_fake_batches(1, 2, 2, 8) * 5))
+    assert tr.params == {}  # sentinel, not an alias of tr.trainable
+    tr.train()  # multiple donating steps run cleanly
+    with open(os.path.join(str(tmp_path), "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert logs[-1]["step"] == 3
+    assert np.isfinite(logs[-1]["loss"])
