@@ -44,9 +44,12 @@ class SparseIndex:
     def __init__(self, offsets: np.ndarray, doc_rows: np.ndarray,
                  values: np.ndarray, doc_ids, dim: int):
         assert offsets.shape[0] == dim + 1
-        self.offsets = offsets.astype(np.int64)
-        self.doc_rows = doc_rows.astype(np.int32)
-        self.values = values.astype(np.float32)
+        # copy=False: adopt correctly-typed caller arrays in place — an
+        # unconditional astype copy doubles peak memory exactly where it
+        # hurts (1.13B-posting shard construction)
+        self.offsets = offsets.astype(np.int64, copy=False)
+        self.doc_rows = doc_rows.astype(np.int32, copy=False)
+        self.values = values.astype(np.float32, copy=False)
         if isinstance(doc_ids, dict):
             n = (max(int(k) for k in doc_ids) + 1) if doc_ids else 0
             dense: list = [None] * n
@@ -107,6 +110,88 @@ class SparseIndex:
         sizes = np.diff(self.offsets)
         nz = np.nonzero(sizes)[0]
         return {int(t): int(sizes[t]) for t in nz}
+
+    def shard_by_rows(self, n_shards: int, chunk_postings: int = 1 << 26
+                      ) -> list["SparseIndex"]:
+        """Split into ``n_shards`` doc-range shards (shard d owns rows
+        [d*per, (d+1)*per), per = ceil(n/n_shards)) with LOCAL rows.
+
+        Scale-ready construction (VERDICT r2 #5): the obvious route —
+        ``np.repeat(arange(dim), diff(offsets))`` + boolean select +
+        ``from_triples`` — materializes an [nnz] int64 term array (~9 GB at
+        MSMARCO's 1.13B postings) plus a full-nnz argsort per shard. This
+        builds each shard's CSR directly: one chunked counting pass over the
+        postings (term-aligned chunks, temporaries bounded by
+        ``chunk_postings``), a per-shard cumsum for offsets, then a chunked
+        fill pass. Term-major source order and term-major destination order
+        coincide, so each (chunk, shard) selection writes one contiguous
+        destination slice — no sort, no [nnz]-sized temporary beyond the
+        shard outputs themselves (~8 B/posting total, same as the parent).
+        Works for unsorted-within-term posting lists (merged interleaved
+        indexes) because selection preserves source order.
+        """
+        n = self.nb_docs()
+        per = -(-n // n_shards) if n else 1
+        dim = self.dim
+        sizes = np.diff(self.offsets)
+
+        # term-aligned chunk boundaries: greedily pack whole terms until the
+        # chunk exceeds chunk_postings (a single term longer than the chunk
+        # gets its own chunk — correctness never depends on the bound)
+        bounds = [0]
+        acc = 0
+        for t in range(dim):
+            acc += int(sizes[t])
+            if acc >= chunk_postings:
+                bounds.append(t + 1)
+                acc = 0
+        if bounds[-1] != dim:
+            bounds.append(dim)
+
+        # pass 1: per-term, per-shard counts (chunk-bounded temporaries)
+        counts = np.zeros((n_shards, dim), np.int64)
+        for t0, t1 in zip(bounds[:-1], bounds[1:]):
+            s, e = int(self.offsets[t0]), int(self.offsets[t1])
+            if s == e:
+                continue
+            r = self.doc_rows[s:e]
+            shard_of = np.minimum(r // per, n_shards - 1)
+            term_local = np.repeat(np.arange(t1 - t0, dtype=np.int64),
+                                   sizes[t0:t1])
+            key = term_local * n_shards + shard_of
+            c = np.bincount(key, minlength=(t1 - t0) * n_shards)
+            counts[:, t0:t1] += c.reshape(t1 - t0, n_shards).T
+
+        shards = []
+        for d in range(n_shards):
+            off = np.zeros(dim + 1, np.int64)
+            np.cumsum(counts[d], out=off[1:])
+            shards.append((off, np.empty(int(off[-1]), np.int32),
+                           np.empty(int(off[-1]), np.float32)))
+
+        # pass 2: fill — term-major order is preserved on both sides, so a
+        # chunk's shard-d selection lands at shards[d].offsets[t0:t1] exactly
+        for t0, t1 in zip(bounds[:-1], bounds[1:]):
+            s, e = int(self.offsets[t0]), int(self.offsets[t1])
+            if s == e:
+                continue
+            r = self.doc_rows[s:e]
+            v = self.values[s:e]
+            shard_of = np.minimum(r // per, n_shards - 1)
+            for d, (off, rows_out, vals_out) in enumerate(shards):
+                sel = shard_of == d
+                lo_dst, hi_dst = int(off[t0]), int(off[t1])
+                rows_out[lo_dst:hi_dst] = r[sel] - d * per
+                vals_out[lo_dst:hi_dst] = v[sel]
+
+        out = []
+        for d in range(n_shards):
+            off, rows_out, vals_out = shards[d]
+            shards[d] = None  # release as consumed — no second copy alive
+            lo, hi = d * per, min((d + 1) * per, n)
+            out.append(type(self)(off, rows_out, vals_out,
+                                  self.doc_ids[lo:hi], dim))
+        return out
 
     def to_doc_major(self, k: Optional[int] = None, pad_multiple: int = 8
                      ) -> tuple[np.ndarray, np.ndarray]:

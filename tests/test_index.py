@@ -746,3 +746,64 @@ def test_segsort_blocked_certificate_underfilled_row():
     ])
     ok = np.asarray(_blocked_certificate(bv, v, m, k))
     assert ok.tolist() == [True, True, False]
+
+
+def test_shard_by_rows_matches_naive_select():
+    """Direct per-shard CSR construction equals the naive triple-select +
+    from_triples route, including on merged-interleaved indexes whose
+    posting lists are NOT sorted by doc row within a term."""
+    rng = np.random.default_rng(7)
+    V, N, nnz = 37, 100, 2000
+    t_idx = np.sort(rng.integers(0, V, nnz))
+    # interleave rows so within-term order is non-monotone (merge layout)
+    d_idx = rng.integers(0, N, nnz).astype(np.int32)
+    vals = rng.random(nnz).astype(np.float32)
+    doc_ids = [f"d{i}" for i in range(N)]
+    idx = SparseIndex.from_triples(d_idx, t_idx.astype(np.int64), vals,
+                                   doc_ids, V)
+    for n_shards in (1, 3, 8):
+        per = -(-N // n_shards)
+        shards = idx.shard_by_rows(n_shards, chunk_postings=257)
+        assert len(shards) == n_shards
+        for d, sh in enumerate(shards):
+            lo, hi = d * per, min((d + 1) * per, N)
+            sel = (idx.doc_rows >= lo) & (idx.doc_rows < hi)
+            term_of = np.repeat(np.arange(V, dtype=np.int64),
+                                np.diff(idx.offsets))[sel]
+            want = SparseIndex.from_triples(
+                idx.doc_rows[sel] - lo, term_of, idx.values[sel],
+                doc_ids[lo:hi], V)
+            np.testing.assert_array_equal(sh.offsets, want.offsets)
+            np.testing.assert_array_equal(sh.doc_rows, want.doc_rows)
+            np.testing.assert_array_equal(sh.values, want.values)
+            assert sh.doc_ids == want.doc_ids
+        # every posting lands in exactly one shard
+        assert sum(s.nnz for s in shards) == idx.nnz
+
+
+@pytest.mark.slow
+def test_shard_by_rows_memory_bounded_at_100m():
+    """VERDICT r2 #5 'done' criterion: at a >=100M-posting index, peak
+    host memory of the shard split stays ~O(nnz * 8 B) (the shard outputs
+    themselves) — not the ~O(nnz * 24 B) of the naive route, whose [nnz]
+    int64 term array alone adds 8 B/posting before the per-shard sorts."""
+    import tracemalloc
+
+    rng = np.random.default_rng(0)
+    V, N = 4096, 1_000_000
+    nnz = 100_000_000
+    lens = rng.multinomial(nnz, np.ones(V) / V)
+    offsets = np.zeros(V + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    doc_rows = rng.integers(0, N, nnz, dtype=np.int32)
+    values = rng.random(nnz, dtype=np.float32)
+    idx = SparseIndex(offsets, doc_rows, values,
+                      np.arange(N).astype(str).tolist(), V)
+
+    tracemalloc.start()
+    shards = idx.shard_by_rows(8, chunk_postings=1 << 22)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert sum(s.nnz for s in shards) == nnz
+    # outputs are 8 B/posting; chunk temporaries add O(chunk) only
+    assert peak < nnz * 11, f"peak {peak / 1e9:.2f} GB exceeds 11 B/posting"
