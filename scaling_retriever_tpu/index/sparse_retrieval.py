@@ -59,7 +59,7 @@ class SparseRetrieval:
     def __init__(self, model, index: SparseIndex | str, out_dir: Optional[str] = None,
                  topk: int = 1000, engine: str = "auto", query_tile: int = 32,
                  block: int = 4096, mesh=None, data_axis: str = "data",
-                 value_dtype=jnp.bfloat16):
+                 value_dtype=jnp.bfloat16, hot_postings: Optional[int] = None):
         self.model = model
         self.index = SparseIndex.load(index) if isinstance(index, str) else index
         self.out_dir = out_dir
@@ -70,7 +70,24 @@ class SparseRetrieval:
         self.block = block
         self.mesh = mesh
         self.data_axis = data_axis
+        self.value_dtype = value_dtype
         self._cpp = None
+        # per-tile engine routing (single-device segsort only): a query
+        # whose matched postings exceed ``hot_postings`` routes to the
+        # length-INDEPENDENT doc-major scan, so the production worst case
+        # is bounded by design instead of by the stream's hottest term
+        # (segsort's sort input scales with matched postings; doc-major's
+        # cost is a fixed full-index sweep per tile — PERFORMANCE.md zipf
+        # hot-stream line). Default threshold = the 32k-job scheduling
+        # budget (~33.5M postings): everything the cost-sized tiles handle
+        # well stays on segsort. The doc-major arrays are built lazily on
+        # the first hot query (they add ~N*K*5 bytes device-resident —
+        # only streams that actually contain pathological queries pay).
+        self.hot_postings = (hot_postings if hot_postings is not None
+                             else 32 * 1024 * 1024)
+        self._hot_terms = None
+        self._hot_vals = None
+        self.hot_queries = 0
 
         if engine == "segsort":
             from scaling_retriever_tpu.ops.segsort_scoring import (
@@ -143,6 +160,40 @@ class SparseRetrieval:
             qids.extend(ids if isinstance(ids, list) else list(ids))
         return qids, (np.concatenate(reps, 0) if reps else np.zeros((0, 0), np.float32))
 
+    def _ensure_doc_major(self):
+        """Lazily build the doc-major [N, K] arrays for hot-query routing.
+        Device-resident only once a hot query exists; K is the max per-doc
+        nnz, so this adds ~N*K*(4+1) bytes at bf16 values — acceptable as a
+        safety valve, not as a second always-on index."""
+        if self._hot_terms is None:
+            terms_np, vals_np = self.index.to_doc_major()
+            terms = jnp.asarray(terms_np)
+            vals = jnp.asarray(vals_np, self.value_dtype)
+            self._hot_terms, self._hot_vals = pad_docs(terms, vals, self.block)
+        return self._hot_terms, self._hot_vals
+
+    def _retrieve_hot(self, hot_idx: np.ndarray, q_dense: np.ndarray,
+                      topk: int, acc: RunAccumulator, profile_span) -> None:
+        """Length-independent doc-major scan for queries whose matched
+        postings exceed ``hot_postings``: cost is one full-index sweep per
+        tile regardless of term hotness, so an adversarially hot stream is
+        bounded by design (VERDICT r2 #6). Exact, like every engine."""
+        self.hot_queries += int(hot_idx.size)
+        terms_d, vals_d = self._ensure_doc_major()
+        tile = self.query_tile
+        for start in range(0, hot_idx.size, tile):
+            sel = hot_idx[start:start + tile]
+            q_tile = q_dense[sel]
+            pad = tile - q_tile.shape[0]
+            if pad:
+                q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+            with profile_span("hot_doc_major_tile"):
+                scores, rows = retrieve_doc_major(
+                    terms_d, vals_d, jnp.asarray(q_tile.T),
+                    k=min(topk, self.n_docs), block=self.block)
+            acc.add_tile(sel, np.asarray(rows)[:len(sel)],
+                         np.asarray(scores, np.float32)[:len(sel)])
+
     def retrieve(self, q_loader: Iterable, topk: Optional[int] = None,
                  threshold: float = 0.0, return_run: bool = True) -> tuple[dict, dict]:
         """Run retrieval; writes run.json + q_stats.json when out_dir is set
@@ -176,11 +227,21 @@ class SparseRetrieval:
             # bench numbers (PERFORMANCE.md). Results are unaffected (exact
             # per query, keyed by qid).
             order = np.arange(nq)
+            hot_idx = np.zeros(0, np.int64)
             host_lens = getattr(self._seg, "_host_lens", None)
-            if nq > tile and host_lens is not None:
+            if nq and host_lens is not None:
                 q_terms, q_vals = self._seg.sparsify_queries(q_dense)
                 cost = (host_lens[q_terms] * (q_vals > 0)).sum(axis=1)
-                order = np.argsort(cost, kind="stable")
+                if self.engine == "segsort":
+                    # per-tile engine routing: pessimal hot queries leave
+                    # the sort-based engine entirely (see __init__)
+                    hot = cost > self.hot_postings
+                    hot_idx = np.nonzero(hot)[0]
+                    normal_idx = np.nonzero(~hot)[0]
+                else:
+                    normal_idx = order
+                order = normal_idx[np.argsort(cost[normal_idx],
+                                              kind="stable")]
             if self.engine == "maxscore" and nq:
                 # batched driver: pruned pass over every tile first, then
                 # uncertified queries from ALL tiles aggregate into dense
@@ -212,7 +273,12 @@ class SparseRetrieval:
                         scores, rows = self._seg.finalize(payload)
                     acc.add_tile(sel, rows[:len(sel)], scores[:len(sel)])
 
-                depth2_pipeline(range(0, nq, tile), _dispatch, _drain)
+                depth2_pipeline(range(0, len(order), tile), _dispatch, _drain)
+
+                if hot_idx.size:
+                    self._retrieve_hot(hot_idx, q_dense, topk, acc,
+                                       profile_span)
+                stats["hot_queries"] = int(hot_idx.size)
         elif self.engine == "cpp":
             ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
             # the C++ engine applied the threshold itself and pads with -1

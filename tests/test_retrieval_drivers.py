@@ -225,3 +225,47 @@ def test_depth2_pipeline_order_and_depth():
 
     depth2_pipeline([], dispatch, drain)  # empty stream is a no-op
     assert in_flight[0] == 0
+
+
+def test_sparse_hot_query_routing(sparse_setup, tmp_path):
+    """Mixed cheap/hot stream (VERDICT r2 #6): queries whose matched
+    postings exceed hot_postings route to the length-independent doc-major
+    scan inside SparseRetrieval itself; results stay exact and the stats
+    record the routing + wall clock."""
+    model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
+    retriever = SparseRetrieval(model, index_dir, out_dir=str(tmp_path / "hot"),
+                                topk=10, engine="segsort", query_tile=4,
+                                block=32, value_dtype=jnp.float32,
+                                hot_postings=0)  # every query is "hot"
+    retriever._seg.min_budget = 256
+    retriever._seg.T = 16
+    run, stats = retriever.retrieve(q_batches)
+    assert stats["hot_queries"] == 9  # whole stream routed
+    assert retriever._hot_terms is not None  # doc-major built lazily
+    _check_run(run, q_batches, q_dense, docs_dense, k=10)
+
+    # mixed stream: threshold between the cheapest and hottest query
+    host_lens = retriever._seg._host_lens
+    q_terms, q_vals = retriever._seg.sparsify_queries(
+        np.concatenate([model.encode(b["input_ids"], b["attention_mask"])
+                        for b in q_batches]))
+    cost = (host_lens[q_terms] * (q_vals > 0)).sum(axis=1)
+    thr = int(np.median(cost))
+    retriever2 = SparseRetrieval(model, index_dir, topk=10, engine="segsort",
+                                 query_tile=4, block=32,
+                                 value_dtype=jnp.float32, hot_postings=thr)
+    retriever2._seg.min_budget = 256
+    retriever2._seg.T = 16
+    run2, stats2 = retriever2.retrieve(q_batches)
+    assert 0 < stats2["hot_queries"] < 9, stats2
+    _check_run(run2, q_batches, q_dense, docs_dense, k=10)
+
+    # default threshold: nothing routes, doc-major never built
+    retriever3 = SparseRetrieval(model, index_dir, topk=10, engine="segsort",
+                                 query_tile=4, value_dtype=jnp.float32)
+    retriever3._seg.min_budget = 256
+    retriever3._seg.T = 16
+    run3, stats3 = retriever3.retrieve(q_batches)
+    assert stats3["hot_queries"] == 0
+    assert retriever3._hot_terms is None
+    _check_run(run3, q_batches, q_dense, docs_dense, k=10)
