@@ -51,10 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["indexing", "encode_queries", "retrieval",
                             "evaluate_msmarco", "evaluate_beir"])
     p.add_argument("--query_reps_path", default=None,
-                   help="npz with pre-encoded query reps (keys: ids, reps) "
+                   help="npz with pre-encoded query reps (keys: ids + "
+                        "either reps [dense] or q_terms/q_vals [sparse]) "
                         "written by --task_name encode_queries; retrieval "
                         "then skips the encoder — the sparse analog of the "
                         "dense CLI's write_doc_embeds/retrieval split")
+    p.add_argument("--reps_format", default="sparse",
+                   choices=["sparse", "dense"],
+                   help="encode_queries output layout: sparse (q_terms/"
+                        "q_vals [nq, T] — ~4 MB for a Dev stream, consumed "
+                        "directly by the sort-based engines) or dense "
+                        "(reps [nq, V] — 3.6 GB at Llama vocab)")
     p.add_argument("--eval_qrel_path", default="")
     p.add_argument("--eval_run_path", default="")
     p.add_argument("--eval_metric", default="",
@@ -63,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "xla", "segsort", "maxscore", "cpp"],
                    help="auto = segsort on an accelerator, xla scan on CPU")
+    p.add_argument("--query_tile", type=int, default=64,
+                   help="max queries per device tile (the measured "
+                        "throughput peak on v5e; cost-sized packing may "
+                        "shrink individual tiles on power-law indexes)")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--use_mesh", action="store_true",
@@ -138,8 +149,14 @@ def _query_loader(args, use_reps: bool = True):
         import numpy as np
 
         data = np.load(args.query_reps_path, allow_pickle=True)
-        reps, ids = data["reps"], data["ids"].tolist()
+        ids = data["ids"].tolist()
         bz = args.eval_batch_size
+        if "q_terms" in data:
+            qt, qv = data["q_terms"], data["q_vals"]
+            return [{"q_terms": qt[i:i + bz], "q_vals": qv[i:i + bz],
+                     "ids": ids[i:i + bz]}
+                    for i in range(0, len(ids), bz)]
+        reps = data["reps"]
         return [{"rep": reps[i:i + bz], "ids": ids[i:i + bz]}
                 for i in range(0, len(ids), bz)]
     tokenizer = _tokenizer(args)
@@ -170,9 +187,16 @@ def encode_queries(args) -> None:
         qids.extend(ids if isinstance(ids, list) else list(ids))
     out = args.query_reps_path or os.path.join(args.out_dir, "query_reps.npz")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    np.savez(out, ids=np.asarray(qids, dtype=object),
-             reps=(np.concatenate(reps, 0) if reps
-                   else np.zeros((0, 0), np.float32)))
+    dense = (np.concatenate(reps, 0) if reps
+             else np.zeros((0, model.vocab_size), np.float32))
+    if args.reps_format == "sparse":
+        from scaling_retriever_tpu.ops.segsort_scoring import sparsify_reps
+
+        q_terms, q_vals = sparsify_reps(dense)
+        np.savez(out, ids=np.asarray(qids, dtype=object),
+                 q_terms=q_terms, q_vals=q_vals)
+    else:
+        np.savez(out, ids=np.asarray(qids, dtype=object), reps=dense)
 
 
 def sparse_retrieval(args) -> None:
@@ -188,7 +212,8 @@ def sparse_retrieval(args) -> None:
             mesh = jax.sharding.Mesh(np.array(devices), ("data",))
     os.makedirs(args.out_dir, exist_ok=True)
     retriever = SparseRetrieval(model, args.index_dir, out_dir=args.out_dir,
-                                topk=args.top_k, engine=args.engine, mesh=mesh)
+                                topk=args.top_k, engine=args.engine, mesh=mesh,
+                                query_tile=args.query_tile)
     retriever.retrieve(loader, topk=args.top_k, threshold=0.0)
 
 

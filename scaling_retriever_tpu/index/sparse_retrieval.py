@@ -88,6 +88,10 @@ class SparseRetrieval:
         self._hot_terms = None
         self._hot_vals = None
         self.hot_queries = 0
+        # cost-sized tile packing cap: width * job bucket per tile
+        # (32k jobs * 1024-posting chunks = 33.5M sort slots, the measured
+        # device memory bound next to a resident MSMARCO-scale CSR)
+        self.job_slots = 32768
 
         if engine == "segsort":
             from scaling_retriever_tpu.ops.segsort_scoring import (
@@ -140,25 +144,59 @@ class SparseRetrieval:
 
     # ------------------------------------------------------------------
 
-    def _encode_queries(self, q_loader: Iterable) -> tuple[list, list]:
-        """Encode query batches → (qids, list of dense rep rows [V])
-        (reference _generate_query_vecs, indexer.py:382-403 — but reps stay
-        dense; the sparse extraction happens only for stats). Batches that
-        already carry a dense ``rep`` array (pre-encoded queries, e.g. the
-        eval_sparse ``--query_reps_path`` two-stage flow mirroring the dense
-        CLI's write_doc_embeds/retrieval split) skip the model."""
-        qids, reps = [], []
+    def _encode_queries(self, q_loader: Iterable):
+        """Encode query batches → (qids, q_dense or None, q_sparse or None)
+        (reference _generate_query_vecs, indexer.py:382-403).
+
+        Batches may carry, instead of tokens:
+          * ``rep`` — pre-encoded dense reps [bz, V];
+          * ``q_terms``/``q_vals`` — pre-encoded SPARSE reps [bz, T]
+            (values descending, 0 ⇒ unused). The natural SPLADE format:
+            ~48 nonzeros of 128k dims, so a Dev-scale stream is ~4 MB
+            instead of a 3.6 GB dense matrix — the sort-based engines
+            consume this directly and dense never materializes.
+        Both come from the eval_sparse ``encode_queries``/
+        ``--query_reps_path`` two-stage flow (the sparse analog of the
+        dense CLI's write_doc_embeds/retrieval split)."""
+        qids, reps, sterms, svals = [], [], [], []
         for batch in q_loader:
-            if "rep" in batch:
-                r = np.asarray(batch["rep"], np.float32)
+            if "q_terms" in batch:
+                sterms.append(np.asarray(batch["q_terms"], np.int32))
+                svals.append(np.asarray(batch["q_vals"], np.float32))
+            elif "rep" in batch:
+                reps.append(np.asarray(batch["rep"], np.float32))
             else:
-                r = np.asarray(
+                reps.append(np.asarray(
                     self.model.encode(batch["input_ids"], batch["attention_mask"]),
-                    np.float32)
-            reps.append(r)
+                    np.float32))
             ids = batch["ids"]
             qids.extend(ids if isinstance(ids, list) else list(ids))
-        return qids, (np.concatenate(reps, 0) if reps else np.zeros((0, 0), np.float32))
+        assert not (reps and sterms), "mixed dense/sparse query batches"
+        if sterms:
+            tmax = max(t.shape[1] for t in sterms)
+            q_terms = np.concatenate(
+                [np.pad(t, ((0, 0), (0, tmax - t.shape[1]))) for t in sterms])
+            q_vals = np.concatenate(
+                [np.pad(v, ((0, 0), (0, tmax - v.shape[1]))) for v in svals])
+            return qids, None, (q_terms, q_vals)
+        q_dense = (np.concatenate(reps, 0) if reps
+                   else np.zeros((0, self.index.dim), np.float32))
+        return qids, q_dense, None
+
+    def _densify(self, q_sparse, rows_sel=None) -> np.ndarray:
+        """Sparse (terms, vals) → dense [m, V] for the engines that need a
+        dense rep (doc-major scan, maxscore, cpp). ``rows_sel`` restricts to
+        a subset (hot tiles densify only their own rows)."""
+        terms, vals = q_sparse
+        if rows_sel is not None:
+            terms, vals = terms[rows_sel], vals[rows_sel]
+        m = terms.shape[0]
+        out = np.zeros((m, self.index.dim), np.float32)
+        rr = np.repeat(np.arange(m), terms.shape[1])
+        tt, vv = terms.ravel(), vals.ravel()
+        keep = vv > 0
+        out[rr[keep], tt[keep]] = vv[keep]
+        return out
 
     def _ensure_doc_major(self):
         """Lazily build the doc-major [N, K] arrays for hot-query routing.
@@ -172,7 +210,7 @@ class SparseRetrieval:
             self._hot_terms, self._hot_vals = pad_docs(terms, vals, self.block)
         return self._hot_terms, self._hot_vals
 
-    def _retrieve_hot(self, hot_idx: np.ndarray, q_dense: np.ndarray,
+    def _retrieve_hot(self, hot_idx: np.ndarray, q_dense, q_sparse,
                       topk: int, acc: RunAccumulator, profile_span) -> None:
         """Length-independent doc-major scan for queries whose matched
         postings exceed ``hot_postings``: cost is one full-index sweep per
@@ -183,7 +221,8 @@ class SparseRetrieval:
         tile = self.query_tile
         for start in range(0, hot_idx.size, tile):
             sel = hot_idx[start:start + tile]
-            q_tile = q_dense[sel]
+            q_tile = (q_dense[sel] if q_dense is not None
+                      else self._densify(q_sparse, rows_sel=sel))
             pad = tile - q_tile.shape[0]
             if pad:
                 q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
@@ -193,6 +232,41 @@ class SparseRetrieval:
                     k=min(topk, self.n_docs), block=self.block)
             acc.add_tile(sel, np.asarray(rows)[:len(sel)],
                          np.asarray(scores, np.float32)[:len(sel)])
+
+    def _pack_tiles(self, order: np.ndarray, q_terms_all, q_vals_all,
+                    tile: int) -> list:
+        """Cost-sized tile schedule [(start, end, width), ...] over the
+        cost-sorted stream. On a power-law index the per-query DMA job need
+        varies ~100x; a fixed-width tile would size every tile's static
+        bucket at its hottest member. Packing width * bucket <= job_slots
+        lets cheap queries ride full-width tiles (the throughput peak)
+        while hot-term tiles shrink, bounding sort memory — the scheduling
+        behind the zipf bench numbers, now in the production driver
+        (widths halve from query_tile down to 16; same {2^k, 1.5*2^k}
+        bucket grid as the engine, so variants stay bounded)."""
+        if (self.engine != "segsort"
+                or not hasattr(self._seg, "job_need")
+                or getattr(self._seg, "fetch", None) != "dma"
+                or not len(order)):
+            return [(s, min(s + tile, len(order)), tile)
+                    for s in range(0, len(order), tile)]
+        from scaling_retriever_tpu.ops.segsort_scoring import bucket_jobs
+
+        need_sorted = self._seg.job_need(q_terms_all[order], q_vals_all[order])
+        widths = [tile]
+        while widths[-1] > 16:
+            widths.append(widths[-1] // 2)
+        sched = []
+        s0 = 0
+        while s0 < len(order):
+            for width in widths:
+                hi = min(s0 + width, len(order))
+                bucket = bucket_jobs(int(need_sorted[s0:hi].max()))
+                if width * bucket <= self.job_slots or width == widths[-1]:
+                    sched.append((s0, hi, width))
+                    s0 = hi
+                    break
+        return sched
 
     def retrieve(self, q_loader: Iterable, topk: Optional[int] = None,
                  threshold: float = 0.0, return_run: bool = True) -> tuple[dict, dict]:
@@ -210,15 +284,28 @@ class SparseRetrieval:
         topk = topk or self.topk
         t0 = time.perf_counter()
         with profile_span("query_encode"):
-            qids, q_dense = self._encode_queries(q_loader)
+            qids, q_dense, q_sparse = self._encode_queries(q_loader)
         t_enc = time.perf_counter()
         nq = len(qids)
-        stats = {"L0_q": float((q_dense != 0).sum(axis=-1).mean()) if nq else 0.0}
+        if q_sparse is not None:
+            stats = {"L0_q": float((q_sparse[1] > 0).sum(axis=-1).mean())
+                     if nq else 0.0}
+        else:
+            stats = {"L0_q": float((q_dense != 0).sum(axis=-1).mean())
+                     if nq else 0.0}
 
         acc = RunAccumulator(qids, self.index.doc_ids, self.n_docs,
                              threshold=threshold)
         if self.engine in ("segsort", "maxscore"):
             tile = self.query_tile
+            # sparsify the whole stream ONCE (or adopt pre-sparsified reps):
+            # tiles slice from these arrays, so no per-tile argpartition
+            # lands on the serial dispatch path
+            if nq and q_sparse is None:
+                eng = (self._seg if hasattr(self._seg, "sparsify_queries")
+                       else self._seg.shards[0])
+                with profile_span("sparsify_queries"):
+                    q_sparse = eng.sparsify_queries(q_dense)
             # cost-sorted scheduling: power-law indexes make per-query work
             # vary ~100x (matched postings drive the sort size and the
             # power-of-two job bucket). Grouping queries by estimated cost
@@ -230,7 +317,7 @@ class SparseRetrieval:
             hot_idx = np.zeros(0, np.int64)
             host_lens = getattr(self._seg, "_host_lens", None)
             if nq and host_lens is not None:
-                q_terms, q_vals = self._seg.sparsify_queries(q_dense)
+                q_terms, q_vals = q_sparse
                 cost = (host_lens[q_terms] * (q_vals > 0)).sum(axis=1)
                 if self.engine == "segsort":
                     # per-tile engine routing: pessimal hot queries leave
@@ -246,6 +333,8 @@ class SparseRetrieval:
                 # batched driver: pruned pass over every tile first, then
                 # uncertified queries from ALL tiles aggregate into dense
                 # exhaustive tiles (ops/maxscore.retrieve_batch)
+                if q_dense is None:
+                    q_dense = self._densify(q_sparse)
                 with profile_span("maxscore_retrieve_batch"):
                     scores, rows = self._seg.retrieve_batch(
                         q_dense[order], topk, tile=tile)
@@ -253,19 +342,25 @@ class SparseRetrieval:
             else:
                 from scaling_retriever_tpu.utils.utils import depth2_pipeline
 
+                q_terms_all, q_vals_all = q_sparse if q_sparse else (None, None)
+                sched = self._pack_tiles(order, q_terms_all, q_vals_all, tile)
+
                 # depth-2 dispatch-ahead: dispatch tile i+1 before reading
                 # tile i's results, overlapping the host readback + the
                 # array-native accumulation with the next tile's device
                 # compute (JAX dispatch is async; the host read is the only
                 # sync point)
-                def _dispatch(start):
-                    sel = order[start:start + tile]
-                    q_tile = q_dense[sel]
-                    pad = tile - q_tile.shape[0]
+                def _dispatch(item):
+                    s0, hi, width = item
+                    sel = order[s0:hi]
+                    qt, qv = q_terms_all[sel], q_vals_all[sel]
+                    pad = width - qt.shape[0]
                     if pad:
-                        q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
+                        qt = np.pad(qt, ((0, pad), (0, 0)))
+                        qv = np.pad(qv, ((0, pad), (0, 0)))
                     with profile_span(f"{self.engine}_dispatch_tile"):
-                        return sel, self._seg.retrieve_tile_async(q_tile, topk)
+                        return sel, self._seg.retrieve_tile_async(
+                            None, topk, sparsified=(qt, qv))
 
                 def _drain(pending):
                     sel, payload = pending
@@ -273,18 +368,22 @@ class SparseRetrieval:
                         scores, rows = self._seg.finalize(payload)
                     acc.add_tile(sel, rows[:len(sel)], scores[:len(sel)])
 
-                depth2_pipeline(range(0, len(order), tile), _dispatch, _drain)
+                depth2_pipeline(sched, _dispatch, _drain)
 
                 if hot_idx.size:
-                    self._retrieve_hot(hot_idx, q_dense, topk, acc,
+                    self._retrieve_hot(hot_idx, q_dense, q_sparse, topk, acc,
                                        profile_span)
                 stats["hot_queries"] = int(hot_idx.size)
         elif self.engine == "cpp":
+            if q_dense is None:
+                q_dense = self._densify(q_sparse)
             ids_k, scores_k = self._cpp.retrieve(q_dense, topk, threshold)
             # the C++ engine applied the threshold itself and pads with -1
             acc.add_tile(np.arange(nq), ids_k, scores_k, valid=ids_k >= 0)
         else:
             tile = self.query_tile
+            if q_dense is None:
+                q_dense = self._densify(q_sparse)
             for start in range(0, nq, tile):
                 q_tile = q_dense[start:start + tile]
                 pad = tile - q_tile.shape[0]

@@ -218,26 +218,32 @@ def test_sparse_two_stage_query_reps(setup):
             "--data_source", "msmarco",
         ])
 
-    eval_sparse.main([
-        "--task_name", "encode_queries", "--model_name_or_path", model_dir,
-        "--query_path", queries, "--query_reps_path", reps_path,
-        "--eval_batch_size", "8", "--query_max_length", "16",
-        "--data_source", "msmarco", "--out_dir", os.path.dirname(reps_path),
-    ])
-    data = np.load(reps_path, allow_pickle=True)
-    assert data["reps"].shape[0] == len(data["ids"]) == 8
-
-    eval_sparse.main([
-        "--task_name", "retrieval", "--query_reps_path", reps_path,
-        "--index_dir", index_dir, "--out_dir", out_dir, "--top_k", "10",
-        "--eval_batch_size", "8",
-    ])
-    with open(os.path.join(out_dir, "run.json")) as f:
-        run = json.load(f)
     with open(os.path.join(direct_out, "run.json")) as f:
         run_direct = json.load(f)
-    assert run == run_direct
-    with open(os.path.join(out_dir, "q_stats.json")) as f:
-        qs = json.load(f)
-    assert qs["retrieval_s"] >= 0 and qs["retrieval_qps"] > 0
-    assert "encode_s" in qs
+
+    for fmt in ("sparse", "dense"):
+        fmt_reps = reps_path.replace(".npz", f"_{fmt}.npz")
+        eval_sparse.main([
+            "--task_name", "encode_queries", "--model_name_or_path", model_dir,
+            "--query_path", queries, "--query_reps_path", fmt_reps,
+            "--reps_format", fmt,
+            "--eval_batch_size", "8", "--query_max_length", "16",
+            "--data_source", "msmarco", "--out_dir", os.path.dirname(fmt_reps),
+        ])
+        data = np.load(fmt_reps, allow_pickle=True)
+        key = "q_terms" if fmt == "sparse" else "reps"
+        assert data[key].shape[0] == len(data["ids"]) == 8
+
+        fmt_out = out_dir + "_" + fmt
+        eval_sparse.main([
+            "--task_name", "retrieval", "--query_reps_path", fmt_reps,
+            "--index_dir", index_dir, "--out_dir", fmt_out, "--top_k", "10",
+            "--eval_batch_size", "8",
+        ])
+        with open(os.path.join(fmt_out, "run.json")) as f:
+            run = json.load(f)
+        assert run == run_direct
+        with open(os.path.join(fmt_out, "q_stats.json")) as f:
+            qs = json.load(f)
+        assert qs["retrieval_s"] >= 0 and qs["retrieval_qps"] > 0
+        assert "encode_s" in qs and qs["L0_q"] > 0

@@ -507,13 +507,13 @@ def test_sharded_segsort_engine(corpus_index):
     orig_async = SegsortEngine.retrieve_tile_async
     orig_tile = SegsortEngine.retrieve_tile
 
-    def spy_async(self, qd, topk=None):
-        out = orig_async(self, qd, topk)
+    def spy_async(self, qd, topk=None, sparsified=None):
+        out = orig_async(self, qd, topk, sparsified=sparsified)
         assert not isinstance(out[0], np.ndarray)  # still on device
         dispatched.append(self)
         return out
 
-    def no_blocking(self, qd, topk=None):
+    def no_blocking(self, qd, topk=None, sparsified=None):
         raise AssertionError("sharded driver must not use the blocking path")
 
     try:
