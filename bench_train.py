@@ -9,9 +9,18 @@ train step (forward on 8 queries + 136 passages, backward to the LoRA
 factors, AdamW update) at the exact Llama-3.2-1B architecture with random
 weights — throughput is weight-independent.
 
+Flags (VERDICT r2 #4 — stage breakdown + remat/batch exploration):
+  --breakdown          also time loss-forward-only and grad-only variants
+                       (optimizer cost = step - grad; remat recompute is
+                       inside grad)
+  --remat {full,none,dots}   layer remat policy (dots =
+                       jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+  --bz N               queries per micro batch (contexts scale with it)
+
 Prints one JSON line (a PERFORMANCE.md row, not the driver headline).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -32,16 +41,36 @@ from scaling_retriever_tpu.training.trainer import (  # noqa: E402
     LLM2RetrieverTrainingArgs, Trainer,
 )
 
-BZ, N_NEGS, Q_LEN, D_LEN = 8, 16, 64, 128
+N_NEGS, Q_LEN, D_LEN = 16, 64, 128
 STEPS = 8
+REMAT = {"full": True, "none": False,
+         "dots": "dots_with_no_batch_dims_saveable"}
 
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def timed_loop(fn, n=STEPS):
+    """n dispatches with a host read per step (timing honesty on a backend
+    where block_until_ready returns early)."""
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn()
+        _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    return (time.perf_counter() - t0) / n, out
+
+
 def main():
-    log(f"devices: {jax.devices()}")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--breakdown", action="store_true")
+    ap.add_argument("--remat", default="full", choices=sorted(REMAT))
+    ap.add_argument("--bz", type=int, default=8)
+    cli = ap.parse_args()
+    bz = cli.bz
+
+    log(f"devices: {jax.devices()}; remat={cli.remat} bz={bz}")
     config = ModelConfig(
         vocab_size=128256, hidden_size=2048, intermediate_size=8192,
         num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
@@ -50,7 +79,7 @@ def main():
         rope_scaling={"rope_type": "llama3", "factor": 32.0,
                       "low_freq_factor": 1.0, "high_freq_factor": 4.0,
                       "original_max_position_embeddings": 8192},
-        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True)
+        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=REMAT[cli.remat])
     t0 = time.perf_counter()
     params = llama.init_params(config, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
@@ -69,23 +98,51 @@ def main():
     trainer = Trainer(enc, args, train_loader=[])
 
     rng = np.random.default_rng(0)
-    n_ctx = BZ * (1 + N_NEGS)
+    n_ctx = bz * (1 + N_NEGS)
     batch = {
         "tokenized_queries": {
             "input_ids": jnp.asarray(
-                rng.integers(4, config.vocab_size, (BZ, Q_LEN)), jnp.int32),
-            "attention_mask": jnp.ones((BZ, Q_LEN), jnp.int32)},
+                rng.integers(4, config.vocab_size, (bz, Q_LEN)), jnp.int32),
+            "attention_mask": jnp.ones((bz, Q_LEN), jnp.int32)},
         "tokenized_contexts": {
             "input_ids": jnp.asarray(
                 rng.integers(4, config.vocab_size, (n_ctx, D_LEN)), jnp.int32),
             "attention_mask": jnp.ones((n_ctx, D_LEN), jnp.int32)},
-        "target_labels": jnp.arange(BZ, dtype=jnp.int32),
+        "target_labels": jnp.arange(bz, dtype=jnp.int32),
     }
+    step_i = jnp.asarray(1, jnp.int32)
+    stages = {}
+
+    if cli.breakdown:
+        # loss forward only (no grad, no optimizer)
+        loss_fn = jax.jit(lambda tr, batch, s: trainer._combined_loss(
+            tr, trainer.params, batch, s)[0])
+        log("compiling loss fwd ...")
+        t0 = time.perf_counter()
+        l0 = float(loss_fn(trainer.trainable, batch, step_i))
+        log(f"  compile+first {time.perf_counter()-t0:.0f}s, loss {l0:.3f}")
+        dt_f, _ = timed_loop(lambda: loss_fn(trainer.trainable, batch, step_i))
+        stages["fwd_ms"] = round(dt_f * 1e3, 1)
+        log(f"  fwd {dt_f*1e3:.0f} ms")
+
+        # grad only (includes the remat recompute; no optimizer)
+        grad_fn = jax.jit(lambda tr, batch, s: jax.value_and_grad(
+            trainer._combined_loss, has_aux=True)(
+                tr, trainer.params, batch, s)[1])
+        log("compiling grad ...")
+        t0 = time.perf_counter()
+        g = grad_fn(trainer.trainable, batch, step_i)
+        _ = float(jax.tree_util.tree_leaves(g)[0].reshape(-1)[0])
+        log(f"  compile+first {time.perf_counter()-t0:.0f}s")
+        dt_g, _ = timed_loop(lambda: grad_fn(trainer.trainable, batch, step_i))
+        stages["grad_ms"] = round(dt_g * 1e3, 1)
+        log(f"  grad {dt_g*1e3:.0f} ms (bwd+recompute = "
+            f"{(dt_g-dt_f)*1e3:.0f} ms over fwd)")
 
     log("compiling train step ...")
     t0 = time.perf_counter()
     tr, opt, metrics = trainer._jit_step(trainer.trainable, trainer.opt_state,
-                                         batch, jnp.asarray(1, jnp.int32))
+                                         batch, step_i)
     loss0 = float(metrics["loss"])  # host read forces completion
     log(f"compile+first step: {time.perf_counter()-t0:.0f}s, loss {loss0:.3f}")
 
@@ -95,14 +152,18 @@ def main():
                                              jnp.asarray(s + 2, jnp.int32))
         _ = float(metrics["loss"])  # per-step host read (timing honesty)
     dt = (time.perf_counter() - t0) / STEPS
-    tokens = n_ctx * D_LEN + BZ * Q_LEN
+    tokens = n_ctx * D_LEN + bz * Q_LEN
     n_params = 1.24e9
     # fwd 2*P FLOP/token; backward to LoRA still differentiates through the
     # frozen stack: ~2x fwd for activation grads (no weight-grad matmuls)
     tflops = 3 * 2 * n_params * tokens / dt / 1e12
-    examples_s = BZ / dt
-    micro_per_opt = 512 // BZ
+    examples_s = bz / dt
+    micro_per_opt = max(1, 512 // bz)
     epoch_h = 1050 * micro_per_opt * dt / 3600
+    if stages:
+        stages["step_ms"] = round(dt * 1e3, 1)
+        stages["optimizer_ms"] = round((dt - stages["grad_ms"] / 1e3) * 1e3, 1)
+        log(f"stages: {stages}")
     log(f"{dt*1e3:.0f} ms/micro step ({examples_s:.2f} queries+{N_NEGS} negs "
         f"ex/s, ~{tflops:.0f} TFLOP/s incl. backward); reference epoch "
         f"(1050 opt steps @ eff. 512) ~= {epoch_h:.1f} h on ONE v5e chip")
@@ -110,10 +171,11 @@ def main():
     print(json.dumps({
         "metric": "train_step_ms_llama1b_lora_nce",
         "value": round(dt * 1e3, 1),
-        "unit": (f"ms per micro step (bz {BZ} x (1+{N_NEGS}) ctx, q{Q_LEN}/"
-                 f"d{D_LEN}, bf16+remat, LoRA r16, 1 v5e chip; "
+        "unit": (f"ms per micro step (bz {bz} x (1+{N_NEGS}) ctx, q{Q_LEN}/"
+                 f"d{D_LEN}, bf16 remat={cli.remat}, LoRA r16, 1 v5e chip; "
                  f"~{tflops:.0f} TFLOP/s; ref epoch ~{epoch_h:.1f} h/chip)"),
         "vs_baseline": None,
+        **({"stages": stages} if stages else {}),
     }))
 
 

@@ -44,7 +44,11 @@ class ModelConfig:
     # Compute/runtime knobs (not architecture):
     dtype: Any = jnp.float32          # activation dtype
     param_dtype: Any = jnp.float32    # parameter storage dtype
-    remat: bool = False               # rematerialize each layer's activations
+    # rematerialize each layer's activations: False = none, True = full
+    # (nothing saved), or a jax.checkpoint_policies name (e.g.
+    # "dots_with_no_batch_dims_saveable") for selective remat — the knob
+    # VERDICT r2 #4's train-step profiling explores
+    remat: Any = False
 
     @property
     def head_dim_(self) -> int:

@@ -292,7 +292,13 @@ def forward_hidden(params: dict, input_ids: jax.Array, attention_mask: jax.Array
         return out, None
 
     if config.remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        # True = full remat; a string names a jax.checkpoint_policies
+        # member for selective remat (saves the policy's tensors, recomputes
+        # the rest — the train-step FLOP/memory trade measured in
+        # bench_train.py --breakdown)
+        policy = (getattr(jax.checkpoint_policies, config.remat)
+                  if isinstance(config.remat, str) else None)
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     if lora_layers is None:
         xs = layer_params
