@@ -13,6 +13,10 @@ import argparse
 import json
 import os
 
+# persistent jit cache — keeps the 10-140 s first-tile remote compile out of
+# repeat runs (see eval_sparse.py; PERFORMANCE.md records the cold/warm split)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import numpy as np
 
 from scaling_retriever_tpu import constants

@@ -19,6 +19,12 @@ import argparse
 import json
 import os
 
+# persistent jit cache: the first tile of a retrieval run otherwise pays a
+# 10-140 s remote compile INSIDE the timed path on this backend, dominating
+# retrieval_s for a Dev-scale stream (bench.py sets the same; PERFORMANCE.md
+# records the cold/warm E2E split)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 from scaling_retriever_tpu import constants
 from scaling_retriever_tpu.data.collators import LlamaSparseCollectionCollator
 from scaling_retriever_tpu.data.datasets import (

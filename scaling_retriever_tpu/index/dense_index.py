@@ -229,6 +229,12 @@ class DenseFlatIndexer(DenseIndexer):
             if n_pad != n:
                 docs = np.pad(docs, ((0, n_pad - n), (0, 0)))
             self._device_docs = jnp.asarray(docs, self.dtype)
+            from scaling_retriever_tpu.utils.utils import force_materialized
+
+            # puts are async on this backend; without a barrier the multi-GB
+            # embedding upload completes inside the first query tile's read
+            # (see SegsortEngine.sync_upload)
+            force_materialized(self._device_docs)
         return self._device_docs
 
     def search_knn(self, query_vectors: np.ndarray, top_docs: int

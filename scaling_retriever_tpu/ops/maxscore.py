@@ -148,6 +148,10 @@ class MaxScoreEngine:
         self.doc_vals = jnp.asarray(np.vstack(
             [vals_np, np.zeros((pad, vals_np.shape[1]), np.float32)]
         ).astype(doc_value_dtype))
+        from scaling_retriever_tpu.utils.utils import force_materialized
+
+        # device puts are async on this backend; see SegsortEngine.sync_upload
+        force_materialized(self.doc_terms, self.doc_vals)
 
         self.tiles = 0
         self.fallbacks = 0

@@ -320,7 +320,8 @@ class SegsortEngine:
     """
 
     def __init__(self, index, topk: int = 1000, query_terms_budget: int = 64,
-                 min_budget: int = 1 << 17, fetch: str = "auto"):
+                 min_budget: int = 1 << 17, fetch: str = "auto",
+                 sync_upload: bool = True):
         self.index = index
         self.topk = topk
         self.T = query_terms_budget
@@ -351,6 +352,23 @@ class SegsortEngine:
         self._host_offsets = index.offsets
         # posting lengths for host-side budget estimation
         self._host_lens = np.diff(index.offsets)
+        if sync_upload:
+            self.sync_upload()
+
+    def sync_upload(self) -> None:
+        """Block until the index buffers are materialized on device: puts
+        are async and block_until_ready returns early on this backend, so
+        a multi-GB upload otherwise completes inside the FIRST tile's
+        drain, charging minutes of transfer to the query loop (measured:
+        901 s of a 920 s full-scale E2E retrieval). Multi-shard drivers
+        construct engines with sync_upload=False and sync after all
+        shards' puts are enqueued, so uploads overlap across devices."""
+        from scaling_retriever_tpu.utils.utils import force_materialized
+
+        force_materialized(getattr(self, "rows_flat", None),
+                           getattr(self, "valbits_flat", None),
+                           getattr(self, "packed", None),
+                           self.offsets)
 
     def sparsify_queries(self, q_dense: np.ndarray
                          ) -> tuple[np.ndarray, np.ndarray]:
@@ -453,11 +471,15 @@ class ShardedSegsortEngine:
         shard_indexes = index.shard_by_rows(len(devices))
         for d, device in enumerate(devices):
             with _jax.default_device(device):
+                # sync after ALL shards enqueue their puts (below), so the
+                # per-device uploads overlap instead of serializing
                 eng = SegsortEngine(shard_indexes[d], topk=topk,
                                     query_terms_budget=query_terms_budget,
-                                    min_budget=min_budget)
+                                    min_budget=min_budget, sync_upload=False)
             self.shards.append(eng)
             self.row_offsets.append(d * per)
+        for eng in self.shards:
+            eng.sync_upload()
         self.n_docs = n
 
     def retrieve_tile_async(self, q_dense, topk=None, sparsified=None):

@@ -56,7 +56,7 @@ def timings() -> dict:
     """Wall-time summaries of all spans seen so far."""
     return {
         name: {"count": len(ts), "total_sec": sum(ts),
-               "mean_sec": sum(ts) / len(ts)}
+               "mean_sec": sum(ts) / len(ts), "max_sec": max(ts)}
         for name, ts in _TIMINGS.items() if ts
     }
 

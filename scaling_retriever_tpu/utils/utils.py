@@ -70,6 +70,23 @@ def depth2_pipeline(items, dispatch, drain) -> None:
         drain(pending)
 
 
+def force_materialized(*arrays) -> None:
+    """Block until device arrays are fully materialized on device.
+
+    ``jax.block_until_ready`` returns EARLY on the axon backend, and device
+    puts are async — a multi-GB index upload silently completes inside
+    whatever read happens to come first. Measured on the full-scale E2E run:
+    the 9 GB CSR upload landed inside the first tile's drain (901 s of a
+    920 s "retrieval"), charging setup cost to the query loop. A 1-element
+    host read per array is the only reliable barrier on this backend.
+    Enqueue every device_put BEFORE calling this so transfers overlap.
+    """
+    for x in arrays:
+        if x is None:
+            continue
+        np.asarray(x[(0,) * getattr(x, "ndim", 0)])
+
+
 def sum_to_main(value, axis: str = "data"):
     """Sum a per-shard value onto every shard; inside shard_map/pjit this is
     one psum over ICI (reference utils.py:45-52 does dist.reduce to rank 0)."""
