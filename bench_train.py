@@ -13,8 +13,10 @@ Flags (VERDICT r2 #4 — stage breakdown + remat/batch exploration):
   --breakdown          also time loss-forward-only and grad-only variants
                        (optimizer cost = step - grad; remat recompute is
                        inside grad)
-  --remat {full,none,dots}   layer remat policy (dots =
-                       jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+  --remat {full,none,dots,dots_nb}   layer remat policy (dots =
+                       jax.checkpoint_policies.dots_saveable — matmul
+                       outputs saved, elementwise recomputed; dots_nb =
+                       dots_with_no_batch_dims_saveable)
   --bz N               queries per micro batch (contexts scale with it)
 
 Prints one JSON line (a PERFORMANCE.md row, not the driver headline).
@@ -43,8 +45,12 @@ from scaling_retriever_tpu.training.trainer import (  # noqa: E402
 
 N_NEGS, Q_LEN, D_LEN = 16, 64, 128
 STEPS = 8
+# dots saves every matmul output (backward recomputes only elementwise —
+# the FLOP-free part of remat); dots_nb saves only batch-dim-free dot
+# outputs, which for an activation stack is ~nothing (≈ full remat)
 REMAT = {"full": True, "none": False,
-         "dots": "dots_with_no_batch_dims_saveable"}
+         "dots": "dots_saveable",
+         "dots_nb": "dots_with_no_batch_dims_saveable"}
 
 
 def log(m):

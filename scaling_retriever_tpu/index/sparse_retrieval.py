@@ -93,6 +93,10 @@ class SparseRetrieval:
         # (32k jobs * 1024-posting chunks = 33.5M sort slots, the measured
         # device memory bound next to a resident MSMARCO-scale CSR)
         self.job_slots = 32768
+        # (width, bucket) jit variants already compiled by a prior
+        # retrieve() call on this object: a warm pass (resident server /
+        # --passes 2) has no warmup tiles and runs fully pipelined
+        self._seen_variants: set = set()
 
         if engine == "segsort":
             from scaling_retriever_tpu.ops.segsort_scoring import (
@@ -392,7 +396,7 @@ class SparseRetrieval:
                 # "warmup_compile" span, and steady-state QPS is reported
                 # over the remaining tiles.
                 t_w = time.perf_counter()
-                seen_variants = set()
+                seen_variants = self._seen_variants
                 warm, steady = [], []
                 for item in sched:
                     key = (item[2], item[3])

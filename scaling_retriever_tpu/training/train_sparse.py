@@ -81,6 +81,17 @@ def add_args(p: argparse.ArgumentParser, pooling: str) -> None:
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--fixed_length", action="store_true",
                    help="pad to max length for single-compile static shapes")
+    p.add_argument("--remat", default="none",
+                   choices=["none", "full", "dots", "dots_nb"],
+                   help="layer activation rematerialization: none (default; "
+                        "fastest when activations fit HBM), full "
+                        "(jax.checkpoint per layer — required at the 1B+ "
+                        "recipes on a 16 GB chip), dots "
+                        "(checkpoint_policies.dots_saveable: matmul outputs "
+                        "saved, elementwise recomputed), dots_nb "
+                        "(dots_with_no_batch_dims_saveable ≈ full for an "
+                        "activation stack). Measured trade: bench_train.py "
+                        "--breakdown / PERFORMANCE.md")
 
 
 def build_training(argv, pooling: str):
@@ -119,10 +130,17 @@ def build_training(argv, pooling: str):
     import jax.numpy as jnp
 
     model_cls = MODEL_REGISTRY[(ns.model_type, pooling, ns.loss_type)]
+    remat = {"none": False, "full": True, "dots": "dots_saveable",
+             "dots_nb": "dots_with_no_batch_dims_saveable"}[ns.remat]
+    if ns.model_type == "t5" and remat:
+        parser.error("--remat applies to the decoder-only stacks; the T5 "
+                     "checkpoints trained here (t5-base/large) fit HBM "
+                     "without rematerialization")
     encoder = model_cls.build(
         ns.model_name_or_path, args,
         param_dtype=jnp.bfloat16 if ns.bf16 else jnp.float32,
-        dtype=jnp.bfloat16 if ns.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if ns.bf16 else jnp.float32,
+        **({"remat": remat} if ns.model_type != "t5" else {}))
     trainer = Trainer(encoder, args, loader, mesh=mesh)
     return trainer, ns
 

@@ -192,6 +192,54 @@ def test_beir_pipeline(setup, tmp_path):
     assert set(perf) == {"NDCG@10", "Recall@100", "R_cap@100"}
 
 
+def test_sparse_retrieval_multi_pass(setup):
+    """--passes 2: pass 2 reuses the in-process jit variants (no warmup
+    tiles, fully pipelined) and its all-tile QPS is recorded per pass in
+    q_stats.json — the warm resident-server measurement discipline behind
+    the PERFORMANCE.md E2E table."""
+    root, model_dir, corpus, queries, qrel = setup
+    index_dir = os.path.join(root, "sparse_index")
+    direct_out = os.path.join(root, "sparse_out")
+    out_dir = os.path.join(root, "sparse_out_passes")
+    if not os.path.exists(os.path.join(index_dir, "csr_index.npz")):
+        eval_sparse.main([
+            "--task_name", "indexing", "--model_name_or_path", model_dir,
+            "--corpus_path", corpus, "--index_dir", index_dir,
+            "--eval_batch_size", "16", "--doc_max_length", "24",
+            "--data_source", "msmarco",
+        ])
+    eval_sparse.main([
+        "--task_name", "retrieval", "--model_name_or_path", model_dir,
+        "--query_path", queries, "--index_dir", index_dir,
+        "--out_dir", out_dir, "--eval_batch_size", "8",
+        "--query_max_length", "16", "--top_k", "10",
+        "--data_source", "msmarco", "--engine", "segsort", "--passes", "2",
+    ])
+    with open(os.path.join(out_dir, "q_stats.json")) as f:
+        qs = json.load(f)
+    assert [p["pass"] for p in qs["passes"]] == [1, 2]
+    assert qs["passes"][0]["warmup_tiles"] >= 1
+    assert qs["passes"][1]["warmup_tiles"] == 0
+    assert all(p["retrieval_qps"] > 0 for p in qs["passes"])
+    # run.json (written by the warm pass) is identical to a single-pass
+    # run of the SAME engine — warm-variant reuse cannot change results.
+    # (Cross-engine runs agree only to ~1e-3: segsort sums f32
+    # contributions in sorted order, doc-major scans bf16 values.)
+    single_out = os.path.join(root, "sparse_out_single_segsort")
+    eval_sparse.main([
+        "--task_name", "retrieval", "--model_name_or_path", model_dir,
+        "--query_path", queries, "--index_dir", index_dir,
+        "--out_dir", single_out, "--eval_batch_size", "8",
+        "--query_max_length", "16", "--top_k", "10",
+        "--data_source", "msmarco", "--engine", "segsort",
+    ])
+    with open(os.path.join(single_out, "run.json")) as f:
+        run_single = json.load(f)
+    with open(os.path.join(out_dir, "run.json")) as f:
+        run = json.load(f)
+    assert run == run_single
+
+
 def test_sparse_two_stage_query_reps(setup):
     """encode_queries -> retrieval --query_reps_path reproduces the direct
     (encode-inside-retrieval) run exactly, and the retrieval stats record

@@ -180,6 +180,33 @@ def test_train_sparse_cli(model_dir, train_files, tmp_path):
     assert os.path.exists(os.path.join(out, "trainer_log.jsonl"))
 
 
+def test_train_sparse_cli_remat(model_dir, train_files, tmp_path):
+    """--remat plumbs a checkpoint policy into the model config and
+    training still converges to finite losses (the numerics-equality of
+    remat modes is pinned in test_llama_parity)."""
+    from scaling_retriever_tpu.training.train_sparse import build_training
+
+    corpus, train_path = train_files
+    out = str(tmp_path / "remat_out")
+    common = [
+        "--model_name_or_path", model_dir, "--corpus_path", corpus,
+        "--train_path", train_path, "--output_dir", out,
+        "--loss_type", "nce", "--max_steps", "2", "--logging_steps", "1",
+        "--per_device_train_batch_size", "1", "--n_negs", "2",
+        "--query_max_length", "16", "--doc_max_length", "16",
+        "--lora_r", "4", "--lora_alpha", "8", "--data_source", "msmarco",
+        "--fixed_length",
+    ]
+    tr, _ = build_training(common + ["--remat", "dots"], "sparse")
+    assert tr.encoder.config.remat == "dots_saveable"
+    tr.train()
+    with open(os.path.join(out, "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert all(np.isfinite(l["loss"]) for l in logs)
+    tr2, _ = build_training(common + ["--remat", "full"], "sparse")
+    assert tr2.encoder.config.remat is True
+
+
 def test_epochs_mode(model_dir, tmp_path):
     """max_steps <= 0 trains num_train_epochs epochs (HF semantics)."""
     args = _args(tmp_path, max_steps=0, num_train_epochs=2, logging_steps=1)
