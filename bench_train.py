@@ -45,6 +45,11 @@ from scaling_retriever_tpu.training.trainer import (  # noqa: E402
 
 N_NEGS, Q_LEN, D_LEN = 16, 64, 128
 STEPS = 8
+# a freshly compiled executable runs its first ~2-8 executions 2-5x slow on
+# this backend (measured: first post-compile loop 2569-5460 ms/step vs 1070
+# steady — the same warm-pass effect the retrieval E2E driver corrects
+# for); every timed loop below is preceded by WARM untimed executions
+WARM = 5
 # dots saves every matmul output (backward recomputes only elementwise —
 # the FLOP-free part of remat); dots_nb saves only batch-dim-free dot
 # outputs, which for an activation stack is ~nothing (≈ full remat)
@@ -58,10 +63,14 @@ def log(m):
 
 
 def timed_loop(fn, n=STEPS):
-    """n dispatches with a host read per step (timing honesty on a backend
-    where block_until_ready returns early)."""
-    t0 = time.perf_counter()
+    """WARM untimed executions, then n timed dispatches with a host read per
+    step (timing honesty on a backend where block_until_ready returns
+    early)."""
     out = None
+    for _ in range(WARM):
+        out = fn()
+        _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
         _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
@@ -120,27 +129,30 @@ def main():
     stages = {}
 
     if cli.breakdown:
-        # loss forward only (no grad, no optimizer)
-        loss_fn = jax.jit(lambda tr, batch, s: trainer._combined_loss(
-            tr, trainer.params, batch, s)[0])
+        # Frozen params MUST be a jit argument, never a closure — closed-over
+        # device trees become program constants shipped to the remote compile
+        # service (2.47 GB here; the step never finished compiling that way).
+        loss_fn = jax.jit(lambda tr, frozen, batch, s: trainer._combined_loss(
+            tr, frozen, batch, s)[0])
         log("compiling loss fwd ...")
         t0 = time.perf_counter()
-        l0 = float(loss_fn(trainer.trainable, batch, step_i))
+        l0 = float(loss_fn(trainer.trainable, trainer.params, batch, step_i))
         log(f"  compile+first {time.perf_counter()-t0:.0f}s, loss {l0:.3f}")
-        dt_f, _ = timed_loop(lambda: loss_fn(trainer.trainable, batch, step_i))
+        dt_f, _ = timed_loop(lambda: loss_fn(
+            trainer.trainable, trainer.params, batch, step_i))
         stages["fwd_ms"] = round(dt_f * 1e3, 1)
         log(f"  fwd {dt_f*1e3:.0f} ms")
 
         # grad only (includes the remat recompute; no optimizer)
-        grad_fn = jax.jit(lambda tr, batch, s: jax.value_and_grad(
-            trainer._combined_loss, has_aux=True)(
-                tr, trainer.params, batch, s)[1])
+        grad_fn = jax.jit(lambda tr, frozen, batch, s: jax.value_and_grad(
+            trainer._combined_loss, has_aux=True)(tr, frozen, batch, s)[1])
         log("compiling grad ...")
         t0 = time.perf_counter()
-        g = grad_fn(trainer.trainable, batch, step_i)
+        g = grad_fn(trainer.trainable, trainer.params, batch, step_i)
         _ = float(jax.tree_util.tree_leaves(g)[0].reshape(-1)[0])
         log(f"  compile+first {time.perf_counter()-t0:.0f}s")
-        dt_g, _ = timed_loop(lambda: grad_fn(trainer.trainable, batch, step_i))
+        dt_g, _ = timed_loop(lambda: grad_fn(
+            trainer.trainable, trainer.params, batch, step_i))
         stages["grad_ms"] = round(dt_g * 1e3, 1)
         log(f"  grad {dt_g*1e3:.0f} ms (bwd+recompute = "
             f"{(dt_g-dt_f)*1e3:.0f} ms over fwd)")
@@ -152,10 +164,14 @@ def main():
     loss0 = float(metrics["loss"])  # host read forces completion
     log(f"compile+first step: {time.perf_counter()-t0:.0f}s, loss {loss0:.3f}")
 
+    for s in range(WARM):            # executable warm-up, untimed
+        tr, opt, metrics = trainer._jit_step(tr, opt, batch,
+                                             jnp.asarray(s + 2, jnp.int32))
+        _ = float(metrics["loss"])
     t0 = time.perf_counter()
     for s in range(STEPS):
         tr, opt, metrics = trainer._jit_step(tr, opt, batch,
-                                             jnp.asarray(s + 2, jnp.int32))
+                                             jnp.asarray(s + WARM + 2, jnp.int32))
         _ = float(metrics["loss"])  # per-step host read (timing honesty)
     dt = (time.perf_counter() - t0) / STEPS
     tokens = n_ctx * D_LEN + bz * Q_LEN

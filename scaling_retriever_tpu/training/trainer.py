@@ -199,6 +199,9 @@ class Trainer:
         # lowered program (JAX warns at 2.47 GB for the 1B recipe), which
         # this environment must ship to the remote compile service —
         # measured 20+ min of "compiling" vs seconds with an argument
+        # donation measured free on this backend (bt_probe2/3: ~1070 ms/step
+        # donated or not, once the executable is warm — see the
+        # executable-warm-up note in PERFORMANCE.md)
         self._jit_train_step = jax.jit(self._train_step,
                                        donate_argnums=(1, 2))
 
