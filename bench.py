@@ -117,6 +117,14 @@ def main() -> None:
     log(f"compile+first: {time.perf_counter() - t0:.1f}s; "
         f"max matched {chk[2]}")
 
+    # executable warm-up: the first ~2-8 executions of a freshly compiled
+    # program run 2-5x slow on this backend (PERFORMANCE.md runtime table) —
+    # without this the first timed pass drags the median down
+    t0 = time.perf_counter()
+    for _ in range(3):
+        read(dispatch(*tiles[0]))
+    log(f"warmed executable x3 in {time.perf_counter() - t0:.1f}s")
+
     # depth-2 pipeline: dispatch tile i+1 before the (blocking) host read of
     # tile i — the SparseRetrieval driver discipline
     from scaling_retriever_tpu.utils.utils import depth2_pipeline

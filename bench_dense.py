@@ -105,6 +105,14 @@ def main() -> None:
     np.testing.assert_array_equal(np.asarray(so, np.float32), s0[:8])
     log("exactness oracle: chunked top-k == full matmul top-k")
 
+    # executable warm-up: first ~2-8 executions of a fresh executable run
+    # 2-5x slow on this backend (PERFORMANCE.md runtime table)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        p = dispatch(tiles[0])
+        _ = np.asarray(p[0])
+    log(f"warmed executable x3 in {time.perf_counter()-t0:.1f}s")
+
     # depth-2 pipeline with whole-buffer reads
     from scaling_retriever_tpu.utils.utils import depth2_pipeline
 

@@ -65,7 +65,7 @@ C_CAND = 2048             # phase-1 candidates (certificate width)
 TILE = 64                 # queries per device call
 T_BUDGET = 64
 L0_Q = 48                 # query nonzeros
-N_TILES_TIMED = 5
+N_TILES_TIMED = 12   # 64-query tiles per timed stream (768 queries)
 DOC_BLOCK = 4096          # fallback scan block
 
 
@@ -326,12 +326,16 @@ def main() -> None:
             jobs_per_query=bucket, n_docs=N_DOCS)
 
     t0 = time.perf_counter()
-    for nqv, b in variants:  # warm every variant's compilation before timing
+    # warm every variant's compilation AND its executable: the first ~2-8
+    # executions of a fresh executable run 2-5x slow on this backend
+    # (PERFORMANCE.md runtime table) — one warm call is not enough
+    for nqv, b in variants:
         qt, qv, _, _ = next(x for x in seg_tiles
                             if x[0].shape[0] == nqv and x[2] == b)
-        s, r, _tot = seg_dispatch(qt, qv, b)
-        _ = float(s[0, 0])
-    log(f"segsort warmed {len(variants)} variants in "
+        for _ in range(3):
+            s, r, _tot = seg_dispatch(qt, qv, b)
+            _ = float(s[0, 0])
+    log(f"segsort warmed {len(variants)} variants x3 in "
         f"{time.perf_counter()-t0:.0f}s")
 
     # depth-2 pipeline: dispatch tile i+1 before the host read of tile i
@@ -401,6 +405,8 @@ def main() -> None:
     log("maxscore compile + warmup ...")
     t0 = time.perf_counter()
     s_ms0, r_ms0, n_cert0, fb0 = ms_tile(*real_tiles[0])
+    for _ in range(2):             # executable warm-up (see segsort note)
+        ms_tile(*real_tiles[0])
     log(f"warmup: {time.perf_counter()-t0:.0f}s; certified {n_cert0}/{TILE}, "
         f"fell_back={fb0}")
 
