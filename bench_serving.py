@@ -1,0 +1,177 @@
+"""Resident-server benchmark: serving latency + closed-loop throughput at
+MSMARCO scale on one chip.
+
+The batch benches (bench.py / the eval_sparse E2E) measure stream
+throughput with the driver controlling tiling. This measures the SERVING
+path (scaling_retriever_tpu/serving/server.py): concurrent single-query
+clients, micro-batched into fixed-width tiles by the resident server. Two
+regimes:
+
+* closed-loop at concurrency C (each of C client threads keeps one request
+  in flight): throughput + latency percentiles. As C approaches the tile
+  width x pipeline depth the QPS should approach the batch bench number —
+  the number that says the serving layer, not just the engine, delivers.
+* C=1 (isolated requests, nothing to coalesce): pure request latency, the
+  figure quoted in PERFORMANCE.md's serving-latency paragraph (~10 ms on
+  device; the ~28 ms RPC floor + upload/read put the end-to-end here at
+  ~40-90 ms through this environment's tunnel — a colocated client sees
+  the device number).
+
+Same on-device uniform index construction as bench.py (host link is too
+slow to upload a 9 GB CSR). Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from scaling_retriever_tpu.ops.pallas_fetch import CHUNK  # noqa: E402
+from scaling_retriever_tpu.ops.segsort_scoring import (  # noqa: E402
+    bucket_jobs, segsort_retrieve_dma,
+)
+from scaling_retriever_tpu.serving.server import (  # noqa: E402
+    RetrievalServer, SparseTileBackend,
+)
+
+N_DOCS = 8_841_823
+K = 128
+VOCAB = 128_256
+L0_Q = 48
+TOPK = 1000
+WIDTH = 64
+T_BUDGET = 64
+SECONDS = 8.0           # per closed-loop measurement window
+CONCURRENCY = (1, 8, 64, 128)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+class _DeviceCSREngine:
+    """Minimal segsort-protocol shim over device-generated CSR arrays (the
+    bench indexes never exist on host, so SegsortEngine's host-side
+    constructor doesn't apply; the protocol — retrieve_tile_async /
+    finalize — is identical to what the server sees in production)."""
+
+    def __init__(self, rows_flat, valbits_flat, offsets, per_term):
+        self.rows_flat = rows_flat
+        self.valbits_flat = valbits_flat
+        self.offsets = offsets
+        self.per_term = per_term
+        self.topk = TOPK
+
+    def retrieve_tile_async(self, q_dense, topk, sparsified):
+        qt, qv = sparsified
+        jobs = bucket_jobs(
+            int(((self.per_term + CHUNK - 1) // CHUNK + 1)
+                * (qv > 0).sum(axis=1).max()))
+        s, r, tot = segsort_retrieve_dma(
+            self.rows_flat, self.valbits_flat, self.offsets,
+            jnp.asarray(qt), jnp.asarray(qv), k=topk,
+            jobs_per_query=jobs, n_docs=N_DOCS)
+        return s, r
+
+    def finalize(self, payload):
+        s, r = payload
+        return np.asarray(s, np.float32), np.asarray(r)
+
+
+def main() -> None:
+    log(f"devices: {jax.devices()}")
+    per_term = (N_DOCS * K) // VOCAB
+    nnz = per_term * VOCAB
+
+    @jax.jit
+    def gen_rows():
+        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz + CHUNK, 1), 0)[:, 0]
+        h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
+        rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+        return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
+
+    t0 = time.perf_counter()
+    rows_flat = gen_rows()
+    _ = int(rows_flat[0])
+    valbits_flat = jnp.full((nnz + CHUNK,), np.float32(1.0).view(np.int32),
+                            jnp.int32)
+    _ = int(valbits_flat[0])
+    offsets = jnp.arange(VOCAB + 1, dtype=jnp.int32) * per_term
+    log(f"index on device in {time.perf_counter()-t0:.0f}s")
+
+    engine = _DeviceCSREngine(rows_flat, valbits_flat, offsets, per_term)
+    backend = SparseTileBackend(engine, None, N_DOCS,
+                                width=WIDTH, t_budget=T_BUDGET, topk=TOPK)
+    server = RetrievalServer(backend, max_wait_ms=2.0)
+
+    rng = np.random.default_rng(0)
+
+    def make_query():
+        terms = rng.choice(VOCAB, size=L0_Q, replace=False).astype(np.int32)
+        vals = rng.uniform(0.1, 2.0, size=L0_Q).astype(np.float32)
+        return terms, vals
+
+    warm = server.warmup([make_query() for _ in range(WIDTH)], passes=4)
+    log(f"warmup: {warm}")
+    server.start()
+
+    results = {}
+    for conc in CONCURRENCY:
+        with server._lock:
+            server.latencies_s.clear()
+            server.batch_sizes.clear()
+        done = [0] * conc
+        stop_t = time.perf_counter() + SECONDS
+
+        def client(i):
+            while time.perf_counter() < stop_t:
+                server.search(make_query())
+                done[i] += 1
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(conc)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        st = server.stats()
+        qps = sum(done) / dt
+        results[conc] = {
+            "qps": round(qps, 1),
+            "p50_ms": st.get("latency_p50_ms"),
+            "p95_ms": st.get("latency_p95_ms"),
+            "mean_batch": st["mean_batch"],
+        }
+        log(f"concurrency {conc}: {qps:.1f} QPS, "
+            f"p50 {st.get('latency_p50_ms')} ms, "
+            f"p95 {st.get('latency_p95_ms')} ms, "
+            f"mean batch {st['mean_batch']}")
+    server.stop()
+
+    best = max(r["qps"] for r in results.values())
+    out = {
+        "metric": "serving_qps_msmarco_scale",
+        "value": best,
+        "unit": (f"queries/sec through the resident micro-batching server "
+                 f"(8.84M docs, 1.13B postings, top-1000, 1 chip, "
+                 f"closed-loop clients; per-concurrency: "
+                 + json.dumps(results)),
+        "vs_baseline": round(best / 7.8, 1),
+    }
+    print(json.dumps(out))
+    with open("BENCH_SERVING.json", "w") as f:
+        json.dump({"results": results, "warmup": warm}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

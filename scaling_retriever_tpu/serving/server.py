@@ -1,0 +1,417 @@
+"""Resident retrieval serving: request queue → micro-batched device tiles.
+
+The reference has no serving path — its retrieval is an offline batch CLI
+(reference ``indexer.py:530-540`` / ``eval_sparse.py:109-162``) whose cost
+model is "pay everything per run". The measured E2E economics on TPU invert
+that (PERFORMANCE.md "Production-path E2E"): index load + upload + jit
+variant compiles are 365-907 s ONE-TIME, while a warmed resident process
+serves a 6,980-query stream in ~10-13 s. This module is the resident
+process: it owns a warmed engine, accepts concurrent single-query requests,
+coalesces them into fixed-shape device tiles (so live traffic reuses the
+compiled variants instead of paying 10-140 s mid-request compiles), and
+overlaps tile dispatch with result drain (the same depth-2 discipline as
+the batch drivers).
+
+Design points, all measured elsewhere in this repo and reused here:
+
+* **Fixed tile shapes.** Live traffic must never see a fresh (width,
+  bucket) jit variant: the server pads every micro-batch to one width and
+  lets the engine pick its job bucket from the batch's actual need; the
+  ``warmup()`` pass pre-compiles AND pre-warms (first ~2-8 executions of a
+  fresh executable run 2-5x slow) the variants a sample of real traffic
+  exercises.
+* **Depth-2 under load.** While a tile computes on device, the previous
+  tile's results are read and resolved; an idle server resolves
+  immediately (no added latency when there is nothing to overlap with).
+* **Whole-buffer drains** via the engines' ``finalize`` (scalar reads
+  would serialize behind later-dispatched tiles on this backend).
+* **Micro-batching window.** A request waits at most ``max_wait_ms`` for
+  co-riders (default 2 ms — negligible next to a ~10 ms device tile, and
+  zero when the queue already holds a tile's worth).
+
+The HTTP front-end is stdlib-only (``http.server``): POST /search with
+JSON sparse reps (the ~48-nonzero SPLADE format), GET /stats, GET /healthz.
+For a production pod, one server process runs per chip behind any L7
+balancer; the doc-sharded ``ShardedSegsortEngine`` plugs in unchanged
+because it speaks the same async/finalize protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class SparseTileBackend:
+    """Adapts a segsort-protocol engine (``retrieve_tile_async`` /
+    ``finalize``: SegsortEngine, ShardedSegsortEngine) to the server's
+    dispatch/drain interface. ``width`` is the fixed tile width every
+    micro-batch is padded to; ``t_budget`` the fixed query-term width
+    (requests with more nonzeros widen it permanently — counted in
+    ``widenings`` because each widening is a new jit variant)."""
+
+    def __init__(self, engine, doc_ids: Optional[Sequence], n_docs: int,
+                 width: int = 64, t_budget: int = 64, topk: int = 1000):
+        self.engine = engine
+        # None = identity mapping (row ids ARE the doc ids) — an 8.8M-entry
+        # object array costs real RAM/build time a bench or a row-keyed
+        # deployment never needs
+        self.doc_ids = (None if doc_ids is None
+                        else np.asarray(doc_ids, dtype=object))
+        self.n_docs = n_docs
+        self.width = width
+        self.t_budget = t_budget
+        self.topk = topk
+        self.widenings = 0
+
+    def pack(self, reqs: list) -> tuple[np.ndarray, np.ndarray]:
+        """[(terms, vals), ...] → padded (q_terms, q_vals) [width, T]."""
+        mx = max((len(r[0]) for r in reqs), default=0)
+        if mx > self.t_budget:
+            self.t_budget = -(-mx // 8) * 8
+            self.widenings += 1
+        qt = np.zeros((self.width, self.t_budget), np.int32)
+        qv = np.zeros((self.width, self.t_budget), np.float32)
+        for i, (terms, vals) in enumerate(reqs):
+            qt[i, :len(terms)] = terms
+            qv[i, :len(vals)] = vals
+        return qt, qv
+
+    def dispatch(self, reqs: list):
+        qt, qv = self.pack(reqs)
+        return self.engine.retrieve_tile_async(None, self.topk,
+                                               sparsified=(qt, qv))
+
+    def drain(self, payload, reqs: list) -> list:
+        scores, rows = self.engine.finalize(payload)
+        return self._to_results(scores, rows, len(reqs))
+
+    def _to_results(self, scores, rows, n_real: int) -> list:
+        out = []
+        for i in range(n_real):
+            valid = ((rows[i] >= 0) & (rows[i] < self.n_docs)
+                     & np.isfinite(scores[i]))
+            kept = rows[i][valid]
+            ids = (kept.tolist() if self.doc_ids is None
+                   else self.doc_ids[kept].tolist())
+            out.append((ids, scores[i][valid].astype(float).tolist()))
+        return out
+
+
+class DenseTileBackend:
+    """Adapts a ``DenseFlatIndexer`` (or any ``search_knn``-style object).
+    ``search_knn`` is synchronous (it pipelines internally over its own
+    chunks), so dispatch is deferred to drain — the server still batches
+    requests into one call, which is where the dense throughput lives."""
+
+    def __init__(self, indexer, width: int = 64, topk: int = 1000):
+        self.indexer = indexer
+        self.width = width
+        self.topk = topk
+        self.t_budget = None
+
+    def pack(self, reqs: list) -> np.ndarray:
+        return np.stack([np.asarray(r, np.float32) for r in reqs])
+
+    def dispatch(self, reqs: list):
+        return self.pack(reqs)
+
+    def drain(self, payload, reqs: list) -> list:
+        hits = self.indexer.search_knn(payload, self.topk)
+        return [(ids, list(map(float, sc))) for ids, sc in hits]
+
+
+_STOP = object()
+
+
+class RetrievalServer:
+    """Micro-batching request broker over a tile backend.
+
+    ``submit`` returns a ``concurrent.futures.Future`` resolving to
+    ``(doc_ids, scores)``; ``search`` is the blocking convenience wrapper.
+    One worker thread owns the device (JAX dispatch is not thread-safe by
+    contract here): it collects up to ``backend.width`` requests per tile,
+    waiting at most ``max_wait_ms`` after the first, dispatches, and under
+    load drains tile i while tile i+1 computes.
+    """
+
+    def __init__(self, backend, max_wait_ms: float = 2.0,
+                 queue_limit: int = 4096):
+        self.backend = backend
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue(maxsize=queue_limit)
+        self._thread: Optional[threading.Thread] = None
+        self._started = False
+        # stats
+        self.n_requests = 0
+        self.n_batches = 0
+        self.batch_sizes: list[int] = []
+        self.latencies_s: list[float] = []
+        self._lock = threading.Lock()
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> "RetrievalServer":
+        assert not self._started
+        self._started = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._started:
+            self._q.put(_STOP)
+            self._thread.join()
+            self._started = False
+
+    def __enter__(self) -> "RetrievalServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- client API ----------------------------------------------------
+
+    def submit(self, query, topk: Optional[int] = None) -> Future:
+        """query: (terms, vals) for sparse backends, a vector for dense.
+        topk above the backend's compiled k is rejected (it would force a
+        new jit variant mid-traffic); smaller topk is a result slice."""
+        k = self.backend.topk
+        assert topk is None or topk <= k, f"topk {topk} > compiled {k}"
+        fut: Future = Future()
+        with self._lock:
+            self.n_requests += 1
+        self._q.put((query, topk or k, fut, time.perf_counter()))
+        return fut
+
+    def search(self, query, topk: Optional[int] = None):
+        return self.submit(query, topk).result()
+
+    # -- warm pool -----------------------------------------------------
+
+    def warmup(self, sample_queries: list, passes: int = 3) -> dict:
+        """Compile + warm the tile executable(s) on real traffic shapes
+        BEFORE serving: each distinct job bucket the sample exercises is a
+        jit variant paying a 10-140 s remote compile on first use, and a
+        fresh executable's first ~2-8 executions run 2-5x slow
+        (PERFORMANCE.md runtime table). Call before ``start()`` (or any
+        time the server is idle). Returns timing for the log."""
+        assert not self._started, "warm up before start() — the worker owns the device"
+        t0 = time.perf_counter()
+        width = self.backend.width
+        n = 0
+        for s in range(0, len(sample_queries), width):
+            reqs = sample_queries[s:s + width]
+            for _ in range(passes):
+                self.backend.drain(self.backend.dispatch(reqs), reqs)
+                n += 1
+        return {"warmup_s": round(time.perf_counter() - t0, 3),
+                "warmup_tiles": n}
+
+    # -- stats ---------------------------------------------------------
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self.latencies_s, np.float64)
+            sizes = self.batch_sizes[:]
+        out = {"n_requests": self.n_requests, "n_batches": self.n_batches,
+               "mean_batch": round(float(np.mean(sizes)), 2) if sizes else 0.0,
+               "t_budget": self.backend.t_budget,
+               "widenings": getattr(self.backend, "widenings", 0)}
+        if lat.size:
+            out.update({
+                "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+                "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+                "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+                "latency_max_ms": round(float(lat.max()) * 1e3, 2),
+            })
+        return out
+
+    # -- worker --------------------------------------------------------
+
+    def _collect(self, first) -> list:
+        """One micro-batch: ``first`` plus co-riders arriving within the
+        window, capped at the tile width."""
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.backend.width:
+            remaining = deadline - time.perf_counter()
+            try:
+                item = self._q.get(timeout=max(remaining, 0.0))
+            except queue.Empty:
+                break
+            if item is _STOP:
+                batch.append(_STOP)
+                break
+            batch.append(item)
+        return batch
+
+    def _resolve(self, pending) -> None:
+        reqs, payload, t_drain = pending
+        try:
+            results = self.backend.drain(payload, [r[0] for r in reqs])
+        except Exception as e:  # propagate to every waiter, keep serving
+            for _, _, fut, _ in reqs:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        now = time.perf_counter()
+        with self._lock:
+            self.n_batches += 1
+            self.batch_sizes.append(len(reqs))
+            for (query, topk, fut, t_sub), (ids, sc) in zip(reqs, results):
+                self.latencies_s.append(now - t_sub)
+                fut.set_result((ids[:topk], sc[:topk]))
+        _ = t_drain
+
+    def _loop(self) -> None:
+        pending = None
+        stop = False
+        while not stop:
+            try:
+                # under load (a tile in flight) poll non-blocking so the
+                # pending tile resolves as soon as traffic pauses; idle,
+                # block until traffic arrives
+                first = self._q.get(block=pending is None, timeout=None)
+            except queue.Empty:
+                first = None
+            if first is _STOP:
+                stop = True
+            elif first is not None:
+                batch = self._collect(first)
+                if batch and batch[-1] is _STOP:
+                    stop = True
+                    batch = batch[:-1]
+                if batch:
+                    reqs = batch
+                    payload = self.backend.dispatch([r[0] for r in reqs])
+                    if pending is not None:
+                        self._resolve(pending)
+                    pending = (reqs, payload, time.perf_counter())
+                    continue
+            if pending is not None:
+                self._resolve(pending)
+                pending = None
+        if pending is not None:
+            self._resolve(pending)
+
+
+# ---------------------------------------------------------------------------
+# stdlib HTTP front-end
+
+
+def serve_http(server: RetrievalServer, host: str = "127.0.0.1",
+               port: int = 8080, block: bool = True):
+    """JSON-over-HTTP facade. POST /search body:
+    ``{"queries": [{"id": "q1", "terms": [...], "vals": [...]}, ...],
+       "topk": 10}``
+    (dense backends: ``{"id": ..., "vector": [...]}``) →
+    ``{"results": {"q1": {"d3": 12.5, ...}}}`` — the reference's run.json
+    entry shape. GET /stats and GET /healthz for ops."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, server.stats())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                topk = req.get("topk")
+                futs = []
+                for q in req["queries"]:
+                    if "vector" in q:
+                        query = np.asarray(q["vector"], np.float32)
+                    else:
+                        query = (np.asarray(q["terms"], np.int32),
+                                 np.asarray(q["vals"], np.float32))
+                    futs.append((str(q.get("id", len(futs))),
+                                 server.submit(query, topk)))
+                results = {qid: dict(zip(map(str, f.result()[0]),
+                                         f.result()[1]))
+                           for qid, f in futs}
+                self._send(200, {"results": results})
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    if block:
+        httpd.serve_forever()
+    return httpd
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m scaling_retriever_tpu.serving.server --index_dir ...
+
+
+def main(argv=None) -> None:
+    import argparse
+    import os
+    import sys
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    ap = argparse.ArgumentParser(description="resident sparse-retrieval server")
+    ap.add_argument("--index_dir", required=True)
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--topk", type=int, default=1000)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    ap.add_argument("--warmup_queries", default=None,
+                    help="npz with q_terms/q_vals arrays to pre-compile "
+                         "the traffic's jit variants (strongly advised: a "
+                         "cold variant costs 10-140 s mid-request)")
+    args = ap.parse_args(argv)
+
+    from scaling_retriever_tpu.index.inverted_index import SparseIndex
+    from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+    t0 = time.perf_counter()
+    index = SparseIndex.load(args.index_dir)
+    engine = SegsortEngine(index, topk=args.topk)
+    backend = SparseTileBackend(engine, index.doc_ids, index.nb_docs(),
+                                width=args.width, topk=args.topk)
+    server = RetrievalServer(backend, max_wait_ms=args.max_wait_ms)
+    print(f"index + engine resident in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    if args.warmup_queries:
+        z = np.load(args.warmup_queries)
+        qs = [(z["q_terms"][i], z["q_vals"][i])
+              for i in range(len(z["q_terms"]))]
+        print(f"warmup: {server.warmup(qs)}", file=sys.stderr)
+    server.start()
+    print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
+    try:
+        serve_http(server, args.host, args.port)
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Resident serving layer: micro-batching, exactness vs the batch engine,
+concurrent clients, HTTP facade (serving/server.py). Runs on the CPU mesh
+with the gather-fetch segsort engine (same protocol the TPU DMA path
+speaks)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from scaling_retriever_tpu.index.inverted_index import SparseIndex
+from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+from scaling_retriever_tpu.serving.server import (
+    DenseTileBackend, RetrievalServer, SparseTileBackend, serve_http,
+)
+
+RNG = np.random.default_rng(7)
+V = 96
+N_DOCS = 60
+
+
+def _index() -> SparseIndex:
+    rows, cols, vals = [], [], []
+    for d in range(N_DOCS):
+        nnz = RNG.integers(3, 9)
+        terms = RNG.choice(V, size=nnz, replace=False)
+        rows.extend([d] * nnz)
+        cols.extend(terms.tolist())
+        vals.extend(RNG.uniform(0.1, 3.0, size=nnz).tolist())
+    return SparseIndex.from_triples(
+        np.array(rows), np.array(cols), np.array(vals, np.float32),
+        [f"d{d}" for d in range(N_DOCS)], V)
+
+
+def _queries(n, t=6):
+    out = []
+    for _ in range(n):
+        terms = RNG.choice(V, size=t, replace=False).astype(np.int32)
+        vals = RNG.uniform(0.2, 2.0, size=t).astype(np.float32)
+        out.append((terms, vals))
+    return out
+
+
+@pytest.fixture(scope="module")
+def sparse_server():
+    idx = _index()
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=8, t_budget=8, topk=10)
+    server = RetrievalServer(backend, max_wait_ms=5.0)
+    server.warmup(_queries(8), passes=1)
+    server.start()
+    yield server, eng, idx
+    server.stop()
+
+
+def _oracle(idx: SparseIndex, terms, vals, k):
+    dense = np.zeros(V, np.float32)
+    dense[terms] = vals
+    scores = np.zeros(N_DOCS, np.float32)
+    for t in range(V):
+        r, v = idx.posting(t)
+        scores[r] += dense[t] * v
+    order = np.argsort(-scores, kind="stable")[:k]
+    return {f"d{d}": scores[d] for d in order if scores[d] > 0}
+
+
+def test_single_request_exact(sparse_server):
+    server, _, idx = sparse_server
+    terms, vals = _queries(1)[0]
+    ids, scores = server.search((terms, vals), topk=10)
+    want = _oracle(idx, terms, vals, 10)
+    got = dict(zip(ids, scores))
+    assert set(got) == set(want)
+    for d, s in want.items():
+        np.testing.assert_allclose(got[d], s, rtol=1e-5)
+    # scores come back descending
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_slice(sparse_server):
+    server, _, _ = sparse_server
+    terms, vals = _queries(1)[0]
+    ids10, sc10 = server.search((terms, vals), topk=10)
+    ids3, sc3 = server.search((terms, vals), topk=3)
+    assert ids3 == ids10[:3] and sc3 == sc10[:3]
+    with pytest.raises(AssertionError):
+        server.submit((terms, vals), topk=99)  # above compiled k
+
+
+def test_concurrent_clients_batch_and_match(sparse_server):
+    server, _, idx = sparse_server
+    qs = _queries(40)
+    results = [None] * len(qs)
+    b0 = server.n_batches
+
+    def client(i):
+        results[i] = server.search(qs[i])
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(qs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for (terms, vals), (ids, scores) in zip(qs, results):
+        want = _oracle(idx, terms, vals, 10)
+        got = dict(zip(ids, scores))
+        assert set(got) == set(want)
+    # concurrency actually coalesced: fewer tiles than requests
+    assert server.n_batches - b0 < len(qs)
+    st = server.stats()
+    assert st["n_requests"] >= len(qs) and st["latency_p50_ms"] > 0
+
+
+def test_wider_query_widens_budget(sparse_server):
+    server, _, idx = sparse_server
+    terms = RNG.choice(V, size=11, replace=False).astype(np.int32)
+    vals = RNG.uniform(0.2, 2.0, size=11).astype(np.float32)
+    ids, scores = server.search((terms, vals))
+    want = _oracle(idx, terms, vals, 10)
+    assert set(ids) == set(want)
+    assert server.backend.t_budget >= 11 and server.backend.widenings >= 1
+
+
+def test_http_facade(sparse_server):
+    server, _, idx = sparse_server
+    httpd = serve_http(server, port=0, block=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            assert json.load(r)["ok"]
+        terms, vals = _queries(1)[0]
+        body = json.dumps({
+            "queries": [{"id": "q0", "terms": terms.tolist(),
+                         "vals": [float(v) for v in vals]}],
+            "topk": 5}).encode()
+        req = urllib.request.Request(f"{base}/search", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            res = json.load(r)["results"]
+        want = _oracle(idx, terms, vals, 5)
+        assert set(res["q0"]) == set(want)
+        with urllib.request.urlopen(f"{base}/stats") as r:
+            st = json.load(r)
+        assert st["n_requests"] > 0
+    finally:
+        httpd.shutdown()
+
+
+def test_dense_backend():
+    docs = RNG.standard_normal((40, 16)).astype(np.float32)
+    import jax.numpy as jnp
+
+    from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
+
+    indexer = DenseFlatIndexer(dtype=jnp.float32, query_tile=8, chunk=64,
+                               selection="direct")
+    indexer.init_index(16)
+    indexer.index_data([(f"d{i}", docs[i]) for i in range(40)])
+    backend = DenseTileBackend(indexer, width=8, topk=5)
+    with RetrievalServer(backend, max_wait_ms=2.0) as server:
+        q = RNG.standard_normal(16).astype(np.float32)
+        ids, scores = server.search(q)
+        want_rows = np.argsort(-(docs @ q))[:5]
+        assert ids == [f"d{r}" for r in want_rows]
+        np.testing.assert_allclose(scores, (docs @ q)[want_rows], rtol=1e-4)
+
+
+def test_server_drains_pending_on_stop():
+    idx = _index()
+    eng = SegsortEngine(idx, topk=5, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=4, t_budget=8, topk=5)
+    server = RetrievalServer(backend, max_wait_ms=1.0).start()
+    futs = [server.submit(q) for q in _queries(9)]
+    server.stop()
+    for f in futs:
+        ids, scores = f.result(timeout=5)
+        assert len(ids) <= 5
