@@ -103,17 +103,23 @@ def main() -> None:
                                     jobs_per_query=jobs_per_query,
                                     n_docs=N_DOCS)
 
-    def read(out):
+    def read(out, check_total=False):
         # full-array host reads: a scalar read (s[0,0]) enqueues a device
         # slice op that serializes BEHIND later-dispatched tiles, while a
         # whole-buffer fetch rides the transfer path (~6 ms, no RPC floor)
-        # and overlaps in-flight compute — measured on this backend
-        s, r, tot = np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])
-        return float(s[0, 0]), int(r[0, 0]), int(tot.max())
+        # and overlaps in-flight compute — measured on this backend.
+        # ``total`` (a tiny diagnostics array) is read only outside the
+        # timed loop: a SMALL buffer's fetch is a separate RPC paying the
+        # ~28 ms per-call floor, which the production driver's finalize
+        # never pays (the DMA path sizes its job table exactly from host
+        # offsets, so there is nothing to check per tile)
+        s, r = np.asarray(out[0]), np.asarray(out[1])
+        tot = int(np.asarray(out[2]).max()) if check_total else -1
+        return float(s[0, 0]), int(r[0, 0]), tot
 
     log("compiling ...")
     t0 = time.perf_counter()
-    chk = read(dispatch(*tiles[0]))
+    chk = read(dispatch(*tiles[0]), check_total=True)
     log(f"compile+first: {time.perf_counter() - t0:.1f}s; "
         f"max matched {chk[2]}")
 

@@ -108,8 +108,12 @@ def main() -> None:
     log(f"index on device in {time.perf_counter()-t0:.0f}s")
 
     engine = _DeviceCSREngine(rows_flat, valbits_flat, offsets, per_term)
-    backend = SparseTileBackend(engine, None, N_DOCS,
-                                width=WIDTH, t_budget=T_BUDGET, topk=TOPK)
+    # width ladder: isolated requests ride the narrow rung (the per-query
+    # sort has a large fixed component; a 1-query request padded to 64
+    # pays the full 64-wide tile — measured p50 149 ms vs ~60 ms on the
+    # 8-wide rung), full batches the throughput-peak width
+    backend = SparseTileBackend(engine, None, N_DOCS, widths=(8, WIDTH),
+                                t_budget=T_BUDGET, topk=TOPK)
     server = RetrievalServer(backend, max_wait_ms=2.0)
 
     rng = np.random.default_rng(0)

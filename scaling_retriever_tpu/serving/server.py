@@ -57,7 +57,8 @@ class SparseTileBackend:
     ``widenings`` because each widening is a new jit variant)."""
 
     def __init__(self, engine, doc_ids: Optional[Sequence], n_docs: int,
-                 width: int = 64, t_budget: int = 64, topk: int = 1000):
+                 width: int = 64, t_budget: int = 64, topk: int = 1000,
+                 widths: Optional[Sequence[int]] = None):
         self.engine = engine
         # None = identity mapping (row ids ARE the doc ids) — an 8.8M-entry
         # object array costs real RAM/build time a bench or a row-keyed
@@ -65,19 +66,28 @@ class SparseTileBackend:
         self.doc_ids = (None if doc_ids is None
                         else np.asarray(doc_ids, dtype=object))
         self.n_docs = n_docs
-        self.width = width
+        # width LADDER: a micro-batch is padded to the smallest rung that
+        # holds it, so an isolated request rides a narrow tile (the
+        # per-query sort has a large fixed component — a 1-query request
+        # padded to 64 wide pays the full 64-wide sort) while full batches
+        # keep the throughput-peak width. Each rung is one jit variant;
+        # warmup() compiles and warms them all.
+        self.widths = tuple(sorted(widths)) if widths else (width,)
+        self.width = self.widths[-1]
         self.t_budget = t_budget
         self.topk = topk
         self.widenings = 0
 
     def pack(self, reqs: list) -> tuple[np.ndarray, np.ndarray]:
-        """[(terms, vals), ...] → padded (q_terms, q_vals) [width, T]."""
+        """[(terms, vals), ...] → (q_terms, q_vals) padded to the smallest
+        width rung that holds the batch."""
         mx = max((len(r[0]) for r in reqs), default=0)
         if mx > self.t_budget:
             self.t_budget = -(-mx // 8) * 8
             self.widenings += 1
-        qt = np.zeros((self.width, self.t_budget), np.int32)
-        qv = np.zeros((self.width, self.t_budget), np.float32)
+        width = next(w for w in self.widths if w >= len(reqs))
+        qt = np.zeros((width, self.t_budget), np.int32)
+        qv = np.zeros((width, self.t_budget), np.float32)
         for i, (terms, vals) in enumerate(reqs):
             qt[i, :len(terms)] = terms
             qv[i, :len(vals)] = vals
@@ -206,7 +216,17 @@ class RetrievalServer:
         t0 = time.perf_counter()
         width = self.backend.width
         n = 0
-        for s in range(0, len(sample_queries), width):
+        # every width rung is its own jit variant — warm each on a
+        # realistic slice so live traffic (full tiles AND stragglers)
+        # never sees a cold compile or a cold executable
+        for w in getattr(self.backend, "widths", (width,)):
+            reqs = sample_queries[:w]
+            if not reqs:
+                continue
+            for _ in range(passes):
+                self.backend.drain(self.backend.dispatch(reqs), reqs)
+                n += 1
+        for s in range(width, len(sample_queries), width):
             reqs = sample_queries[s:s + width]
             for _ in range(passes):
                 self.backend.drain(self.backend.dispatch(reqs), reqs)
@@ -382,6 +402,9 @@ def main(argv=None) -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--topk", type=int, default=1000)
     ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--widths", default=None,
+                    help="comma-separated width ladder (e.g. 8,64): "
+                         "isolated requests ride the narrow rung")
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument("--warmup_queries", default=None,
                     help="npz with q_terms/q_vals arrays to pre-compile "
@@ -395,8 +418,11 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     index = SparseIndex.load(args.index_dir)
     engine = SegsortEngine(index, topk=args.topk)
+    widths = ([int(w) for w in args.widths.split(",")]
+              if args.widths else None)
     backend = SparseTileBackend(engine, index.doc_ids, index.nb_docs(),
-                                width=args.width, topk=args.topk)
+                                width=args.width, widths=widths,
+                                topk=args.topk)
     server = RetrievalServer(backend, max_wait_ms=args.max_wait_ms)
     print(f"index + engine resident in {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)

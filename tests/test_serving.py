@@ -173,6 +173,53 @@ def test_dense_backend():
         np.testing.assert_allclose(scores, (docs @ q)[want_rows], rtol=1e-4)
 
 
+def test_width_ladder():
+    """A width ladder pads each micro-batch to the smallest rung that
+    holds it: isolated requests ride the narrow (cheap) variant, full
+    batches the throughput-peak width; results identical either way."""
+    idx = _index()
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                widths=(2, 8), t_budget=8, topk=10)
+    assert backend.width == 8
+    qs = _queries(5)
+    qt, qv = backend.pack(qs[:1])
+    assert qt.shape[0] == 2  # narrow rung
+    qt, qv = backend.pack(qs)
+    assert qt.shape[0] == 8  # full rung
+    server = RetrievalServer(backend, max_wait_ms=2.0)
+    server.warmup(qs, passes=1)
+    with server:
+        for terms, vals in qs:
+            ids, scores = server.search((terms, vals))
+            want = _oracle(idx, terms, vals, 10)
+            assert set(ids) == set(want)
+
+
+def test_sharded_engine_through_server():
+    """The doc-sharded multi-device engine speaks the same async/finalize
+    protocol — a pod deployment serves from one broker per host with
+    shards on every local device, no code change."""
+    import jax
+
+    from scaling_retriever_tpu.ops.segsort_scoring import ShardedSegsortEngine
+
+    idx = _index()
+    eng = ShardedSegsortEngine(idx, devices=jax.devices()[:4], topk=10,
+                               query_terms_budget=8, min_budget=256)
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=4, t_budget=8, topk=10)
+    with RetrievalServer(backend, max_wait_ms=2.0) as server:
+        for terms, vals in _queries(6):
+            ids, scores = server.search((terms, vals))
+            want = _oracle(idx, terms, vals, 10)
+            got = dict(zip(ids, scores))
+            assert set(got) == set(want)
+            for d, s in want.items():
+                np.testing.assert_allclose(got[d], s, rtol=1e-5)
+
+
 def test_server_drains_pending_on_stop():
     idx = _index()
     eng = SegsortEngine(idx, topk=5, query_terms_budget=8, min_budget=256,
