@@ -80,16 +80,21 @@ def main() -> None:
     def dispatch(q):
         # block-local certified selection (the DenseFlatIndexer "auto"
         # path): lax.top_k over the full score slab dominates flat search;
-        # per-4096-block top-32 + merge + certificate cuts it ~1.6x and is
-        # exact whenever certified (measured ~always at these shapes)
-        return _search_chunked_blocked(docs, q, k=TOPK, chunk=CHUNK)
+        # per-4096-block top-32 + merge + certificate cuts it ~2x and is
+        # exact whenever certified (measured ~always at these shapes).
+        # The [nq] certificate is packed into the score transfer — a
+        # separate small-buffer read pays the ~28 ms per-call RPC floor
+        # per tile (PERFORMANCE.md small-read note)
+        s, r, ok = _search_chunked_blocked(docs, q, k=TOPK, chunk=CHUNK)
+        return jnp.concatenate([s, ok[:, None].astype(jnp.float32)], 1), r
 
     log("compiling ...")
     t0 = time.perf_counter()
-    s, r, ok = dispatch(tiles[0])
-    s0 = np.asarray(s, np.float32)
+    s, r = dispatch(tiles[0])
+    packed0 = np.asarray(s, np.float32)
+    s0, ok0 = packed0[:, :-1], packed0[:, -1] > 0.5
     r0 = np.asarray(r)
-    assert bool(np.asarray(ok).all()), "certificate failed; bench the direct path"
+    assert bool(ok0.all()), "certificate failed; bench the direct path"
     log(f"compile+first: {time.perf_counter()-t0:.1f}s (certified all)")
 
     # exactness oracle: unchunked matmul + top_k for the first 8 queries.
@@ -121,8 +126,8 @@ def main() -> None:
 
     def drain(p):
         nonlocal n_cert
-        _ = np.asarray(p[0]); _ = np.asarray(p[1])
-        n_cert += int(np.asarray(p[2]).sum())
+        packed = np.asarray(p[0]); _ = np.asarray(p[1])
+        n_cert += int((packed[:, -1] > 0.5).sum())
 
     depth2_pipeline(tiles[1:], dispatch, drain)
     dt = time.perf_counter() - t0

@@ -262,19 +262,25 @@ class DenseFlatIndexer(DenseIndexer):
 
         def _drain(payload, q_dev, n_real):
             if blocked:
-                scores_d, rows_d, ok_d = payload
+                packed_d, rows_d = payload
+                packed = np.asarray(packed_d, np.float32)
+                scores_np, ok = packed[:, :-1], packed[:, -1] > 0.5
                 # certificate over the REAL rows only: padded zero-query
                 # rows always fail it (tau = 0, max_bm = 0) and would
                 # force the exact fallback on every ragged final tile
-                if not bool(np.asarray(ok_d)[:n_real].all()):
+                if not bool(ok[:n_real].all()):
                     # uncertified row(s): rerun the tile on the always-exact
                     # direct path (certificate failures need score mass
                     # concentrated in one 4096-doc block — rare by layout)
                     self.fallbacks += 1
                     scores_d, rows_d = _search_chunked(docs, q_dev, k=k,
                                                        chunk=self.chunk)
-            else:
-                scores_d, rows_d = payload
+                    tiles.append((np.asarray(scores_d, np.float32),
+                                  np.asarray(rows_d), n_real))
+                    return
+                tiles.append((scores_np, np.asarray(rows_d), n_real))
+                return
+            scores_d, rows_d = payload
             tiles.append((np.asarray(scores_d, np.float32),
                           np.asarray(rows_d), n_real))
 
@@ -285,9 +291,17 @@ class DenseFlatIndexer(DenseIndexer):
                 q_tile = np.pad(q_tile, ((0, tile - n_real), (0, 0)))
             q_dev = jnp.asarray(q_tile, self.dtype)
             if blocked:
-                payload = _search_chunked_blocked(
+                scores_d, rows_d, ok_d = _search_chunked_blocked(
                     docs, q_dev, k=k, chunk=self.chunk, m=self.block_m,
                     block=self.sel_block)
+                # pack the [nq] certificate into the score transfer: a
+                # separate SMALL-buffer read per tile pays the ~28 ms
+                # per-call RPC floor on this backend (the same sink that
+                # deflated bench.py's headline by ~40 ms/tile — see
+                # PERFORMANCE.md small-read note)
+                payload = (jnp.concatenate(
+                    [scores_d, ok_d[:, None].astype(jnp.float32)], axis=1),
+                    rows_d)
             else:
                 payload = _search_chunked(docs, q_dev, k=k, chunk=self.chunk)
             return payload, q_dev, n_real
