@@ -395,7 +395,9 @@ def main() -> None:
         if not ok_np.all():
             q_dense = np.zeros((t["V"], TILE), np.float32)
             for i in range(TILE):
-                q_dense[qt[i], i] = qv[i]
+                nz_i = qv[i] > 0  # mask pads: term-0 pad slots would
+                # last-write-erase a REAL term 0 (duplicate-index assign)
+                q_dense[qt[i][nz_i], i] = qv[i][nz_i]
             s2, r2 = retrieve_doc_major(doc_terms, doc_vals,
                                         jnp.asarray(q_dense), k=k,
                                         block=DOC_BLOCK)
@@ -416,7 +418,9 @@ def main() -> None:
     def exhaustive(qt, qv, nq):
         q_dense = np.zeros((t["V"], nq), np.float32)
         for i in range(nq):
-            q_dense[qt[i], i] = qv[i]
+            nz_i = qv[i] > 0  # mask pads: term-0 pad slots would
+            # last-write-erase a REAL term 0 (duplicate-index assign)
+            q_dense[qt[i][nz_i], i] = qv[i][nz_i]
         s_or, _ = retrieve_doc_major(doc_terms, doc_vals,
                                      jnp.asarray(q_dense), k=TOPK,
                                      block=DOC_BLOCK)
