@@ -167,15 +167,17 @@ class MaxScoreEngine:
     def retrieve_tile(self, q_dense: np.ndarray, topk: Optional[int] = None
                       ) -> tuple[np.ndarray, np.ndarray]:
         """q_dense [nq, V] → (scores [nq, k], rows [nq, k]); always exact."""
-        scores, rows, ok, aux = self._retrieve_tile_pruned(q_dense, topk)
+        packed, rows, aux = self._retrieve_tile_pruned(q_dense, topk)
         if aux is not None:
             total, p_budget = aux
             assert int(np.asarray(total).max()) <= p_budget
         self.tiles += 1
-        if not bool(np.asarray(ok).all()):
+        packed = np.asarray(packed, np.float32)
+        scores, ok = packed[:, :-1], packed[:, -1] > 0.5
+        if not bool(ok.all()):
             self.fallbacks += 1
             return self._retrieve_tile_exhaustive(q_dense, topk)
-        return np.asarray(scores, np.float32), np.asarray(rows)
+        return scores, np.asarray(rows)
 
     def retrieve_batch(self, q_dense: np.ndarray, topk: Optional[int] = None,
                        tile: int = 64) -> tuple[np.ndarray, np.ndarray]:
@@ -198,13 +200,13 @@ class MaxScoreEngine:
                 q_tile = np.pad(q_tile, ((0, pad), (0, 0)))
             in_flight.append((start, self._retrieve_tile_pruned(q_tile, k)))
         retry: list[int] = []
-        for start, (s, r, ok, aux) in in_flight:
+        for start, (packed, r, aux) in in_flight:
             if aux is not None:
                 total, p_budget = aux
                 assert int(np.asarray(total).max()) <= p_budget
             self.tiles += 1
-            ok = np.asarray(ok)
-            s = np.asarray(s, np.float32)
+            packed = np.asarray(packed, np.float32)
+            s, ok = packed[:, :-1], packed[:, -1] > 0.5
             r = np.asarray(r)
             n_real = min(tile, nq - start)
             out_s[start:start + n_real] = s[:n_real]
@@ -224,8 +226,11 @@ class MaxScoreEngine:
 
     def _retrieve_tile_pruned(self, q_dense: np.ndarray,
                               topk: Optional[int] = None):
-        """Phases 1+2 only (no fallback): returns device (scores, rows, ok)
-        + the phase-1 budget check payload."""
+        """Phases 1+2 only (no fallback): returns device (packed, rows) +
+        the phase-1 budget check payload. ``packed`` is [nq, k+1] with the
+        per-query certificate in the last column — a separate [nq] read
+        would pay the ~28 ms small-buffer RPC floor per tile
+        (PERFORMANCE.md small-read note)."""
         k = min(topk or self.topk, self.C, self.n_docs)
         q_terms, q_vals = self._seg.sparsify_queries(q_dense)
         bound = (self.u_arr[q_terms] * q_vals * (q_vals > 0)).sum(1)
@@ -234,8 +239,10 @@ class MaxScoreEngine:
             self.doc_terms, self.doc_vals, ps, pr,
             jnp.asarray(q_terms), jnp.asarray(q_vals),
             jnp.asarray(bound.astype(np.float32)), k=k, n_docs=self.n_docs)
+        packed = jnp.concatenate(
+            [scores, ok[:, None].astype(jnp.float32)], axis=1)
         aux = (total, p_budget) if total is not None else None
-        return scores, rows, ok, aux
+        return packed, rows, aux
 
     def _retrieve_tile_exhaustive(self, q_dense: np.ndarray,
                                   topk: Optional[int] = None

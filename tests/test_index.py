@@ -371,9 +371,10 @@ def test_maxscore_certificate_sound():
         for prefix in (2, 4, 8):
             eng = MaxScoreEngine(idx, topk=k, prefix=prefix, candidates=24,
                                  query_terms_budget=8, min_budget=128)
-            s_dev, r_dev, ok, _ = eng._retrieve_tile_pruned(q, k)
-            ok = np.asarray(ok)
-            s, r = np.asarray(s_dev), np.asarray(r_dev)
+            packed_dev, r_dev, _ = eng._retrieve_tile_pruned(q, k)
+            packed = np.asarray(packed_dev, np.float32)
+            s, ok = packed[:, :-1], packed[:, -1] > 0.5
+            r = np.asarray(r_dev)
             want = q @ dense.T
             for i in range(q.shape[0]):
                 if not ok[i]:
