@@ -49,25 +49,29 @@ def get_data_source(args) -> str:
     return "msmarco"
 
 
-def depth2_pipeline(items, dispatch, drain) -> None:
-    """Depth-2 dispatch-ahead driver discipline: dispatch item i+1 (async
-    JAX call returning device arrays) BEFORE draining item i (blocking host
-    reads), so the host readback of one tile overlaps the next tile's
-    device compute. Used by every retrieval driver and bench in the repo.
+def depth2_pipeline(items, dispatch, drain, depth: int = 3) -> None:
+    """Dispatch-ahead driver discipline: dispatch up to ``depth`` items
+    (async JAX calls returning device arrays) BEFORE draining the oldest
+    (blocking host reads), so the host readback of one tile overlaps the
+    next tiles' device compute. Used by every retrieval driver and bench in
+    the repo. Default depth 3: once the small-read RPC jitter was removed
+    (PERFORMANCE.md small-read note) the bench became reproducible enough
+    to measure depth 3 ~1.8% above depth 2 at the 64-wide tile
+    (scripts/tile_width_sweep.py: 759.5 vs 746.0 QPS; depth>3 adds
+    nothing); under the old ±10% noise floor the difference was invisible.
 
     drain() MUST read whole device buffers (``np.asarray(x)``) — a scalar
     read like ``float(x[0, 0])`` enqueues a device slice op that runs
     AFTER the later-dispatched tile, degrading the pipeline to fully
     serial (measured on this backend; see CLAUDE.md / PERFORMANCE.md).
     """
-    pending = None
+    pending: list = []
     for item in items:
-        cur = dispatch(item)
-        if pending is not None:
-            drain(pending)
-        pending = cur
-    if pending is not None:
-        drain(pending)
+        pending.append(dispatch(item))
+        if len(pending) >= depth:
+            drain(pending.pop(0))
+    for p in pending:
+        drain(p)
 
 
 def force_materialized(*arrays) -> None:

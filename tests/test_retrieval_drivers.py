@@ -201,30 +201,33 @@ def test_sparse_auto_engine_driver(sparse_setup, tmp_path):
 
 def test_depth2_pipeline_order_and_depth():
     """The shared driver helper drains every item exactly once, in order,
-    and never holds more than two dispatches in flight."""
+    and never holds more than ``depth`` dispatches in flight."""
     from scaling_retriever_tpu.utils.utils import depth2_pipeline
 
-    events = []
-    in_flight = [0]
+    for depth in (1, 2, 3):
+        events = []
+        in_flight = [0]
 
-    def dispatch(i):
-        in_flight[0] += 1
-        assert in_flight[0] <= 2
-        events.append(("d", i))
-        return i
+        def dispatch(i):
+            in_flight[0] += 1
+            assert in_flight[0] <= depth
+            events.append(("d", i))
+            return i
 
-    def drain(i):
-        in_flight[0] -= 1
-        events.append(("r", i))
+        def drain(i):
+            in_flight[0] -= 1
+            events.append(("r", i))
 
-    depth2_pipeline(range(4), dispatch, drain)
-    assert [e for e in events if e[0] == "r"] == [("r", i) for i in range(4)]
-    # item i+1 is dispatched before item i is drained (the whole point)
-    assert events.index(("d", 1)) < events.index(("r", 0))
-    assert in_flight[0] == 0
+        depth2_pipeline(range(6), dispatch, drain, depth=depth)
+        assert ([e for e in events if e[0] == "r"]
+                == [("r", i) for i in range(6)])
+        if depth > 1:
+            # item i+1 is dispatched before item i is drained (the point)
+            assert events.index(("d", 1)) < events.index(("r", 0))
+        assert in_flight[0] == 0
 
-    depth2_pipeline([], dispatch, drain)  # empty stream is a no-op
-    assert in_flight[0] == 0
+        depth2_pipeline([], dispatch, drain, depth=depth)  # no-op
+        assert in_flight[0] == 0
 
 
 def test_sparse_hot_query_routing(sparse_setup, tmp_path):
