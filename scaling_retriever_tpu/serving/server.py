@@ -152,9 +152,16 @@ class RetrievalServer:
     """
 
     def __init__(self, backend, max_wait_ms: float = 2.0,
-                 queue_limit: int = 4096):
+                 queue_limit: int = 4096, pipeline_depth: int = 2):
         self.backend = backend
         self.max_wait = max_wait_ms / 1e3
+        # tiles dispatched ahead of the oldest drain under load. Default 2,
+        # NOT the batch drivers' 3: with closed-loop clients a deeper
+        # pipeline drains the queue faster, so micro-batches form SMALLER
+        # (measured at conc 128: depth 3 → mean batch 44 and 492 QPS vs
+        # depth 2 → mean batch 58 and 570 QPS) — batch formation beats
+        # pipeline depth when requests arrive as results leave
+        self.pipeline_depth = max(1, pipeline_depth)
         self._q: queue.Queue = queue.Queue(maxsize=queue_limit)
         self._thread: Optional[threading.Thread] = None
         self._started = False
@@ -291,14 +298,14 @@ class RetrievalServer:
         _ = t_drain
 
     def _loop(self) -> None:
-        pending = None
+        pending: list = []
         stop = False
         while not stop:
             try:
-                # under load (a tile in flight) poll non-blocking so the
-                # pending tile resolves as soon as traffic pauses; idle,
-                # block until traffic arrives
-                first = self._q.get(block=pending is None, timeout=None)
+                # under load (tiles in flight) poll non-blocking so pending
+                # tiles resolve as soon as traffic pauses; idle, block
+                # until traffic arrives
+                first = self._q.get(block=not pending, timeout=None)
             except queue.Empty:
                 first = None
             if first is _STOP:
@@ -309,17 +316,15 @@ class RetrievalServer:
                     stop = True
                     batch = batch[:-1]
                 if batch:
-                    reqs = batch
-                    payload = self.backend.dispatch([r[0] for r in reqs])
-                    if pending is not None:
-                        self._resolve(pending)
-                    pending = (reqs, payload, time.perf_counter())
+                    payload = self.backend.dispatch([r[0] for r in batch])
+                    pending.append((batch, payload, time.perf_counter()))
+                    if len(pending) >= self.pipeline_depth:
+                        self._resolve(pending.pop(0))
                     continue
-            if pending is not None:
-                self._resolve(pending)
-                pending = None
-        if pending is not None:
-            self._resolve(pending)
+            if pending:
+                self._resolve(pending.pop(0))
+        for p in pending:
+            self._resolve(p)
 
 
 # ---------------------------------------------------------------------------
