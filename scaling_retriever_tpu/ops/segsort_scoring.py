@@ -220,14 +220,43 @@ def _blocked_certificate(bv: jax.Array, v: jax.Array, m: int, k: int
     return ((bm < tau[:, None]) | ~jnp.isfinite(bm)).all(axis=1)
 
 
+def _segsum_passes(out: jax.Array, srow: jax.Array, lo: int, hi: int
+                   ) -> jax.Array:
+    """Hillis-Steele doubling passes with shifts lo, 2*lo, ... < hi.
+    Progressive: continuing from a partial result with larger shifts
+    completes the segmented sum for runs up to ``hi``."""
+    nq = srow.shape[0]
+    shift = lo
+    while shift < hi:
+        prev_v = jnp.concatenate(
+            [jnp.zeros((nq, shift), out.dtype), out[:, :-shift]], axis=1)
+        prev_k = jnp.concatenate(
+            [jnp.full((nq, shift), -1, srow.dtype), srow[:, :-shift]], axis=1)
+        out = jnp.where(prev_k == srow, out + prev_v, out)
+        shift *= 2
+    return out
+
+
 def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
-               k: int, max_run: int) -> tuple[jax.Array, jax.Array]:
+               k: int, max_run: int, assumed_run: int = 8
+               ) -> tuple[jax.Array, jax.Array]:
     """(rows, contrib) [nq, P] → (scores, rows) [nq, k].
 
     Per-query axis-1 sort (measured ~10% faster end-to-end than a flat
     composite-key sort at MSMARCO scale, and free of the int32 key-range
     ceiling on nq*n_docs), bounded-run segmented Hillis-Steele sum (a doc's
     run holds at most one posting per query term), run-end masking, top-k.
+
+    CERTIFIED SHORT-RUN SEGSUM: the worst-case run bound is ``max_run``
+    (= T query terms, 6 doubling passes at T=64; each pass is a full HBM
+    sweep — segsum measured 20.7 of the 80 ms tile), but a doc's actual
+    multiplicity is the number of query terms it matches — almost always
+    ≤ 4 on realistic streams (Binomial tail: ~1e-2 expected docs ≥ 5-way
+    at MSMARCO stats). So run log2(assumed_run) passes, then certify with
+    one comparison sweep (a run > assumed_run exists iff some non-sentinel
+    srow[i] == srow[i-assumed_run]) and finish the remaining passes under
+    an on-device lax.cond only when a longer run exists — always exact,
+    fast path saves ~2 full passes (scripts/segsort_stage_profile.py).
     """
     nq = rows.shape[0]
     # unstable sort: 20% faster than the default stable sort on this chip
@@ -237,15 +266,15 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
     # run-to-run deterministic either way
     srow, scontrib = jax.lax.sort((rows, contrib), dimension=1, num_keys=1,
                                   is_stable=False)
-    out = scontrib
-    shift = 1
-    while shift < max_run:
-        prev_v = jnp.concatenate(
-            [jnp.zeros((nq, shift), out.dtype), out[:, :-shift]], axis=1)
-        prev_k = jnp.concatenate(
-            [jnp.full((nq, shift), -1, srow.dtype), srow[:, :-shift]], axis=1)
-        out = jnp.where(prev_k == srow, out + prev_v, out)
-        shift *= 2
+    assumed = min(assumed_run, max_run)
+    out = _segsum_passes(scontrib, srow, 1, assumed)
+    if assumed < max_run:
+        long_run = ((srow[:, assumed:] == srow[:, :-assumed])
+                    & (srow[:, assumed:] != sentinel))
+        out = jax.lax.cond(
+            long_run.any(),
+            lambda o: _segsum_passes(o, srow, assumed, max_run),
+            lambda o: o, out)
     is_end = jnp.concatenate(
         [srow[:, :-1] != srow[:, 1:], jnp.ones((nq, 1), bool)], axis=1)
     score = jnp.where(is_end & (srow != sentinel), out, -jnp.inf)

@@ -65,8 +65,11 @@ def main():
 
     sentinel = jnp.int32(N_DOCS)
 
+    # index arrays enter as ARGUMENTS: a closure capture serializes them
+    # into the lowered program as 9 GB of constants shipped to the remote
+    # compile service (CLAUDE.md gotcha — wedged the round-2 train step)
     @functools.partial(jax.jit, static_argnames=("stage",))
-    def staged(qt, qv, stage):
+    def staged(rows_flat, valbits_flat, offsets, qt, qv, stage):
         T = qt.shape[1]
         qt2, neg = jax.lax.sort((qt, -qv), dimension=1, num_keys=1)
         qv2 = -neg
@@ -75,7 +78,7 @@ def main():
         contrib = jnp.where(valid, vals * qw, 0.0)
         rows = jnp.where(valid, rows, sentinel)
         if stage == "fetch":
-            return rows.sum(axis=1, dtype=jnp.int64)[:, None].astype(jnp.float32)
+            return rows.sum(axis=1, dtype=jnp.int32)[:, None].astype(jnp.float32)
         srow, scontrib = jax.lax.sort((rows, contrib), dimension=1,
                                       num_keys=1, is_stable=False)
         if stage == "sort":
@@ -101,7 +104,7 @@ def main():
 
     results = {}
     for stage in ("fetch", "sort", "segsum", "full"):
-        fn = lambda: staged(qt, qv, stage)
+        fn = lambda: staged(rows_flat, valbits_flat, offsets, qt, qv, stage)
         out = fn()
         _ = np.asarray(out)
         for _ in range(3):

@@ -246,6 +246,47 @@ def test_segsort_engine_exact(corpus_index):
                 np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
 
 
+def test_segsort_long_run_fallback_exact():
+    """A doc matched by MORE query terms than the short-run segsum's
+    assumed bound (8) exercises the certified fallback passes
+    (_rank_tail long-run lax.cond) and stays exact."""
+    from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+    n_docs, vloc = 30, 40
+    rows, cols, vals = [], [], []
+    # doc 0 carries 14 distinct terms -> a 14-long run for a query using
+    # all of them (> assumed_run 8); other docs carry 2-4 terms
+    hot_terms = np.arange(14)
+    for t in hot_terms:
+        rows.append(0); cols.append(int(t)); vals.append(1.0 + 0.1 * t)
+    for d in range(1, n_docs):
+        nnz = RNG.integers(2, 5)
+        for t in RNG.choice(vloc, size=nnz, replace=False):
+            rows.append(d); cols.append(int(t)); vals.append(float(RNG.uniform(0.1, 2.0)))
+    idx = SparseIndex.from_triples(
+        np.array(rows), np.array(cols), np.array(vals, np.float32),
+        [f"d{d}" for d in range(n_docs)], vloc)
+    dense = _dense_matrix(idx)
+
+    q = np.zeros((2, vloc), np.float32)
+    q[0, hot_terms] = RNG.uniform(0.5, 1.5, size=len(hot_terms))  # run 14
+    q[1, RNG.choice(vloc, size=3, replace=False)] = 1.0           # short runs
+    eng = SegsortEngine(idx, topk=6, query_terms_budget=16, min_budget=256)
+    scores, rows_k = eng.retrieve_tile(q, 6)
+    want = q @ dense.T
+    for i in range(2):
+        pos = np.sort(want[i][want[i] > 0])[::-1][:6]
+        got = np.sort(scores[i][np.isfinite(scores[i]) & (scores[i] > 0)])[::-1]
+        np.testing.assert_allclose(got[:len(pos)], pos[:len(got)],
+                                   atol=1e-5, rtol=1e-5)
+    # doc 0's 14-term sum is the exact dot product
+    d0 = int(np.argmax(want[0]))
+    assert d0 == 0
+    i0 = np.nonzero(rows_k[0] == 0)[0]
+    assert i0.size == 1
+    np.testing.assert_allclose(scores[0][i0[0]], want[0, 0], rtol=1e-5)
+
+
 def test_segsort_widens_term_budget(corpus_index):
     """Queries with more nonzeros than the budget stay exact (budget widens)."""
     from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
