@@ -199,6 +199,7 @@ class RetrievalServer:
         """query: (terms, vals) for sparse backends, a vector for dense.
         topk above the backend's compiled k is rejected (it would force a
         new jit variant mid-traffic); smaller topk is a result slice."""
+        assert self._started, "server not started — a submit would hang"
         k = self.backend.topk
         assert topk is None or topk <= k, f"topk {topk} > compiled {k}"
         fut: Future = Future()
