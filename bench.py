@@ -26,8 +26,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 NOTE: this index has uniform posting-list lengths; real MSMARCO postings
 are power-law. The companion `bench_zipf.py` measures the same engines on a
-zipf index with MSMARCO-calibrated queries (BENCH_ZIPF.json: 456.2 QPS =
-58.5x) — see PERFORMANCE.md for the side-by-side.
+zipf index with MSMARCO-calibrated queries (BENCH_ZIPF.json: 556.8 QPS =
+71.4x) — see PERFORMANCE.md for the side-by-side.
 """
 
 import json
@@ -155,7 +155,7 @@ def main() -> None:
         "metric": "sparse_retrieval_qps_msmarco_scale",
         "value": round(qps, 1),
         "unit": ("queries/sec (8.84M docs, 1.13B UNIFORM postings, top-1000, "
-                 "1 chip; power-law counterpart: BENCH_ZIPF.json 456.2 QPS)"),
+                 "1 chip; power-law counterpart: BENCH_ZIPF.json 556.8 QPS)"),
         "vs_baseline": round(qps / BASELINE_QPS, 1),
     }))
 
