@@ -241,8 +241,12 @@ def sparse_retrieval(args) -> None:
     per_pass = []
     for p_i in range(args.passes):
         reset_timings()
+        # run.json only on the FINAL pass: earlier passes would each pay
+        # the Dev-scale run-dict build + GB json dump for an artifact the
+        # next pass overwrites
         _, stats = retriever.retrieve(batches, topk=args.top_k,
-                                      threshold=0.0, return_run=False)
+                                      threshold=0.0, return_run=False,
+                                      write_run=(p_i == args.passes - 1))
         per_pass.append({"pass": p_i + 1,
                          "retrieval_s": stats["retrieval_s"],
                          "retrieval_qps": stats["retrieval_qps"],

@@ -159,7 +159,18 @@ class DenseIndexer:
 
     def _update_id_mapping(self, db_ids: List) -> int:
         self.index_id_to_db_id.extend(db_ids)
+        self._id_map_np = None
         return len(self.index_id_to_db_id)
+
+    @property
+    def _id_map(self) -> "np.ndarray":
+        # cached object array: np.asarray over a multi-M-entry python list
+        # costs seconds (measured 2.3 s at 8.8M — RunAccumulator note) and
+        # search_knn runs once per serving micro-batch
+        if getattr(self, "_id_map_np", None) is None:
+            self._id_map_np = np.asarray(self.index_id_to_db_id,
+                                         dtype=object)
+        return self._id_map_np
 
 
 class DenseFlatIndexer(DenseIndexer):
@@ -197,6 +208,7 @@ class DenseFlatIndexer(DenseIndexer):
         self._vectors = []
         self._n = 0
         self.index_id_to_db_id = []
+        self._id_map_np = None
         self._device_docs = None
 
     @property
@@ -310,7 +322,7 @@ class DenseFlatIndexer(DenseIndexer):
 
         depth2_pipeline(range(0, nq, tile), _dispatch, lambda p: _drain(*p))
 
-        id_map = np.asarray(self.index_id_to_db_id, dtype=object)
+        id_map = self._id_map
         out: List[Tuple[List, List[float]]] = []
         for scores, rows, n_real in tiles:
             for qi in range(n_real):

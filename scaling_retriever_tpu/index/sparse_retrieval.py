@@ -79,13 +79,18 @@ class SparseRetrieval:
         # is bounded by design instead of by the stream's hottest term
         # (segsort's sort input scales with matched postings; doc-major's
         # cost is a fixed full-index sweep per tile — PERFORMANCE.md zipf
-        # hot-stream line). Default threshold = the 32k-job scheduling
-        # budget (~33.5M postings): everything the cost-sized tiles handle
-        # well stays on segsort. The doc-major arrays are built lazily on
-        # the first hot query (they add ~N*K*5 bytes device-resident —
-        # only streams that actually contain pathological queries pay).
+        # hot-stream line). Default threshold = ~8192 DMA jobs per query
+        # (~8.4M matched postings): the largest segsort tile is then
+        # 16-wide x 8192-bucket ≈ 134M sort slots — within the operating
+        # envelope the zipf benches run routinely (16 x 6144 measured).
+        # The old 33.5M default conflated the per-TILE 32k-job packing cap
+        # with a per-QUERY bound: a 20M-posting query would have built a
+        # 16 x 24576-job tile (~3.2 GB sort input) next to a 9 GB resident
+        # CSR. The doc-major arrays are built lazily on the first hot
+        # query (they add ~N*K*5 bytes device-resident — only streams that
+        # actually contain pathological queries pay).
         self.hot_postings = (hot_postings if hot_postings is not None
-                             else 32 * 1024 * 1024)
+                             else 8 * 1024 * 1024)
         self._hot_terms = None
         self._hot_vals = None
         self.hot_queries = 0
@@ -141,8 +146,10 @@ class SparseRetrieval:
                 self._sharded_fn = None
             from scaling_retriever_tpu.utils.utils import force_materialized
 
-            # puts are async; see SegsortEngine.sync_upload
-            force_materialized(self.terms, self.vals)
+            # puts are async; see SegsortEngine.sync_upload (incl. the
+            # mesh-sharded row_ids — every shard's put must complete)
+            force_materialized(self.terms, self.vals,
+                               getattr(self, "row_ids", None))
         elif engine == "cpp":
             from scaling_retriever_tpu.index.cpp_engine import CppSparseEngine
 
@@ -209,7 +216,11 @@ class SparseRetrieval:
         rr = np.repeat(np.arange(m), terms.shape[1])
         tt, vv = terms.ravel(), vals.ravel()
         keep = vv > 0
-        out[rr[keep], tt[keep]] = vv[keep]
+        # np.add.at, not fancy-index assignment: user-supplied sparse reps
+        # may carry DUPLICATE term ids, which the sort-based engines SUM
+        # (each occurrence fetches the list once) — last-write-wins here
+        # would make the same query score differently per engine/route
+        np.add.at(out, (rr[keep], tt[keep]), vv[keep])
         return out
 
     def _ensure_doc_major(self):
@@ -288,7 +299,8 @@ class SparseRetrieval:
         return sched
 
     def retrieve(self, q_loader: Iterable, topk: Optional[int] = None,
-                 threshold: float = 0.0, return_run: bool = True) -> tuple[dict, dict]:
+                 threshold: float = 0.0, return_run: bool = True,
+                 write_run: bool = True) -> tuple[dict, dict]:
         """Run retrieval; writes run.json + q_stats.json when out_dir is set
         (reference indexer.py:530-540).
 
@@ -468,13 +480,18 @@ class SparseRetrieval:
                               "max_s": round(v["max_sec"], 3)}
                           for k, v in timings().items()}
         res = None
-        if self.out_dir or return_run:
+        # ``write_run=False`` skips BOTH the run-dict build and the
+        # run.json dump (GB-scale at Dev size) — multi-pass benchmarking
+        # (eval_sparse --passes N) only keeps the final pass's artifact,
+        # so earlier passes shouldn't pay tens of seconds building it
+        if (self.out_dir and write_run) or return_run:
             with profile_span("run_dict_build"):
                 res = acc.to_run()
         if self.out_dir:
             os.makedirs(self.out_dir, exist_ok=True)
-            with open(os.path.join(self.out_dir, "run.json"), "w") as f:
-                json.dump(res, f)
+            if write_run:
+                with open(os.path.join(self.out_dir, "run.json"), "w") as f:
+                    json.dump(res, f)
             with open(os.path.join(self.out_dir, "q_stats.json"), "w") as f:
                 json.dump(stats, f)
         return (res, stats) if return_run else ({}, stats)

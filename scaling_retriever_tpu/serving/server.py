@@ -58,7 +58,8 @@ class SparseTileBackend:
 
     def __init__(self, engine, doc_ids: Optional[Sequence], n_docs: int,
                  width: int = 64, t_budget: int = 64, topk: int = 1000,
-                 widths: Optional[Sequence[int]] = None):
+                 widths: Optional[Sequence[int]] = None,
+                 max_need_jobs: int = 8192):
         self.engine = engine
         # None = identity mapping (row ids ARE the doc ids) — an 8.8M-entry
         # object array costs real RAM/build time a bench or a row-keyed
@@ -76,7 +77,29 @@ class SparseTileBackend:
         self.width = self.widths[-1]
         self.t_budget = t_budget
         self.topk = topk
+        self.max_need_jobs = max_need_jobs
         self.widenings = 0
+
+    def validate(self, query) -> None:
+        """Reject requests the engine cannot tile safely (called on the
+        CLIENT thread by submit, so only the offending request errors —
+        not its co-riders). A query whose DMA job need exceeds
+        ``max_need_jobs`` would force a sort slab far beyond the proven
+        operating envelope (PERFORMANCE.md memory note); the batch eval
+        driver routes such queries to the length-independent doc-major
+        scan, which a resident sparse server does not carry."""
+        if getattr(self.engine, "job_need", None) is None:
+            return
+        terms, vals = query
+        need = int(self.engine.job_need(
+            np.asarray(terms, np.int32)[None, :],
+            np.asarray(vals, np.float32)[None, :]).max())
+        if need > self.max_need_jobs:
+            raise ValueError(
+                f"query needs {need} DMA jobs > serving cap "
+                f"{self.max_need_jobs} (~{self.max_need_jobs * 1024 / 1e6:.0f}M "
+                f"matched postings); use the batch eval driver's hot-query "
+                f"routing for pathological streams")
 
     def pack(self, reqs: list) -> tuple[np.ndarray, np.ndarray]:
         """[(terms, vals), ...] → (q_terms, q_vals) padded to the smallest
@@ -186,6 +209,16 @@ class RetrievalServer:
             self._q.put(_STOP)
             self._thread.join()
             self._started = False
+            # a submit racing stop() can land BEHIND the sentinel; fail
+            # those futures explicitly instead of abandoning them
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not _STOP:
+                    item[2].set_exception(
+                        RuntimeError("server stopped before request ran"))
 
     def __enter__(self) -> "RetrievalServer":
         return self.start()
@@ -198,10 +231,18 @@ class RetrievalServer:
     def submit(self, query, topk: Optional[int] = None) -> Future:
         """query: (terms, vals) for sparse backends, a vector for dense.
         topk above the backend's compiled k is rejected (it would force a
-        new jit variant mid-traffic); smaller topk is a result slice."""
-        assert self._started, "server not started — a submit would hang"
+        new jit variant mid-traffic); smaller topk is a result slice.
+        Raises (not assert — API-contract guards must survive ``-O``) on a
+        non-started server and on requests the backend rejects, so only
+        the offending caller errors, never its batch co-riders."""
+        if not self._started:
+            raise RuntimeError("server not started — a submit would hang")
         k = self.backend.topk
-        assert topk is None or topk <= k, f"topk {topk} > compiled {k}"
+        if topk is not None and topk > k:
+            raise ValueError(f"topk {topk} > compiled {k}")
+        validate = getattr(self.backend, "validate", None)
+        if validate is not None:
+            validate(query)  # raises on over-budget requests
         fut: Future = Future()
         with self._lock:
             self.n_requests += 1
@@ -228,9 +269,13 @@ class RetrievalServer:
         # realistic slice so live traffic (full tiles AND stragglers)
         # never sees a cold compile or a cold executable
         for w in getattr(self.backend, "widths", (width,)):
-            reqs = sample_queries[:w]
-            if not reqs:
+            if not sample_queries:
                 continue
+            # FILL the rung: pack() re-picks the smallest rung that holds
+            # the batch, so a short sample would silently warm a smaller
+            # rung and leave this one's jit variant cold for live traffic
+            reps = -(-w // len(sample_queries))
+            reqs = (list(sample_queries) * reps)[:w]
             for _ in range(passes):
                 self.backend.drain(self.backend.dispatch(reqs), reqs)
                 n += 1
@@ -317,7 +362,17 @@ class RetrievalServer:
                     stop = True
                     batch = batch[:-1]
                 if batch:
-                    payload = self.backend.dispatch([r[0] for r in batch])
+                    try:
+                        payload = self.backend.dispatch(
+                            [r[0] for r in batch])
+                    except Exception as e:
+                        # a bad request must fail ITS batch, never kill
+                        # the worker (a dead worker wedges every future
+                        # request while /healthz still reports ok)
+                        for _, _, fut, _ in batch:
+                            if not fut.done():
+                                fut.set_exception(e)
+                        continue
                     pending.append((batch, payload, time.perf_counter()))
                     if len(pending) >= self.pipeline_depth:
                         self._resolve(pending.pop(0))

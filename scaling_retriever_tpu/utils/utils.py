@@ -88,7 +88,16 @@ def force_materialized(*arrays) -> None:
     for x in arrays:
         if x is None:
             continue
-        np.asarray(x[(0,) * getattr(x, "ndim", 0)])
+        shards = getattr(x, "addressable_shards", None)
+        if shards:
+            # one read PER SHARD: a single x[0,0] read only barriers the
+            # device holding that element — on a mesh-sharded array the
+            # other devices' puts would stay in flight past this call
+            for sh in shards:
+                d = sh.data
+                np.asarray(d[(0,) * getattr(d, "ndim", 0)])
+        else:
+            np.asarray(x[(0,) * getattr(x, "ndim", 0)])
 
 
 def sum_to_main(value, axis: str = "data"):

@@ -87,7 +87,7 @@ def test_topk_slice(sparse_server):
     ids10, sc10 = server.search((terms, vals), topk=10)
     ids3, sc3 = server.search((terms, vals), topk=3)
     assert ids3 == ids10[:3] and sc3 == sc10[:3]
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         server.submit((terms, vals), topk=99)  # above compiled k
 
 
@@ -218,6 +218,70 @@ def test_sharded_engine_through_server():
             assert set(got) == set(want)
             for d, s in want.items():
                 np.testing.assert_allclose(got[d], s, rtol=1e-5)
+
+
+def test_bad_request_fails_only_its_future(sparse_server):
+    """A malformed request must error ITS future, not kill the worker
+    (a dead worker would wedge every later request while /healthz still
+    reports ok)."""
+    server, _, idx = sparse_server
+    bad = (np.array([[1, 2], [3, 4]], np.int32),  # 2-D terms: pack() raises
+           np.array([1.0, 1.0], np.float32))
+    fut = server.submit(bad)
+    with pytest.raises(Exception):
+        fut.result(timeout=5)
+    # the server keeps serving
+    terms, vals = _queries(1)[0]
+    ids, scores = server.search((terms, vals))
+    want = _oracle(idx, terms, vals, 10)
+    assert set(ids) == set(want)
+
+
+def test_submit_guards_raise(sparse_server):
+    server, eng, idx = sparse_server
+    stopped = RetrievalServer(SparseTileBackend(
+        eng, idx.doc_ids, idx.nb_docs(), width=4, t_budget=8, topk=10))
+    with pytest.raises(RuntimeError):
+        stopped.submit(_queries(1)[0])
+    with pytest.raises(ValueError):
+        server.submit(_queries(1)[0], topk=99)
+
+
+def test_validate_rejects_over_budget_query():
+    """A query whose DMA job need exceeds the serving cap is rejected at
+    submit time (client thread), not dispatched."""
+    idx = _index()
+    eng = SegsortEngine(idx, topk=5, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    if getattr(eng, "job_need", None) is None:
+        pytest.skip("gather engine lacks job_need on this build")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=4, t_budget=8, topk=5,
+                                max_need_jobs=0)
+    with RetrievalServer(backend) as server:
+        with pytest.raises(ValueError):
+            server.submit(_queries(1)[0])
+
+
+def test_warmup_fills_rungs():
+    """A warmup sample smaller than a width rung must still warm that
+    rung (pack() re-picks the smallest rung that holds the batch)."""
+    idx = _index()
+    eng = SegsortEngine(idx, topk=5, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    seen_widths = []
+    orig = eng.retrieve_tile_async
+
+    def spy(q_dense, topk=None, sparsified=None):
+        seen_widths.append(sparsified[0].shape[0])
+        return orig(q_dense, topk, sparsified=sparsified)
+
+    eng.retrieve_tile_async = spy
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                widths=(2, 8), t_budget=8, topk=5)
+    server = RetrievalServer(backend)
+    server.warmup(_queries(3), passes=1)  # sample (3) < widest rung (8)
+    assert set(seen_widths) == {2, 8}
 
 
 def test_server_drains_pending_on_stop():
