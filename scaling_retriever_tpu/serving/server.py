@@ -457,8 +457,12 @@ def main(argv=None) -> None:
     import sys
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    ap = argparse.ArgumentParser(description="resident sparse-retrieval server")
-    ap.add_argument("--index_dir", required=True)
+    ap = argparse.ArgumentParser(description="resident retrieval server")
+    ap.add_argument("--index_dir", default=None,
+                    help="sparse inverted-index directory")
+    ap.add_argument("--dense_index_dir", default=None,
+                    help="serialized DenseFlatIndexer directory "
+                         "(index_srt.npz) — serves dense vector queries")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--topk", type=int, default=1000)
@@ -473,24 +477,37 @@ def main(argv=None) -> None:
                          "cold variant costs 10-140 s mid-request)")
     args = ap.parse_args(argv)
 
-    from scaling_retriever_tpu.index.inverted_index import SparseIndex
-    from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+    if (args.index_dir is None) == (args.dense_index_dir is None):
+        ap.error("exactly one of --index_dir / --dense_index_dir is required")
 
     t0 = time.perf_counter()
-    index = SparseIndex.load(args.index_dir)
-    engine = SegsortEngine(index, topk=args.topk)
     widths = ([int(w) for w in args.widths.split(",")]
               if args.widths else None)
-    backend = SparseTileBackend(engine, index.doc_ids, index.nb_docs(),
-                                width=args.width, widths=widths,
-                                topk=args.topk)
+    if args.index_dir:
+        from scaling_retriever_tpu.index.inverted_index import SparseIndex
+        from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+        index = SparseIndex.load(args.index_dir)
+        engine = SegsortEngine(index, topk=args.topk)
+        backend = SparseTileBackend(engine, index.doc_ids, index.nb_docs(),
+                                    width=args.width, widths=widths,
+                                    topk=args.topk)
+    else:
+        from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
+
+        indexer = DenseFlatIndexer()
+        indexer.deserialize(args.dense_index_dir)
+        backend = DenseTileBackend(indexer, width=args.width, topk=args.topk)
     server = RetrievalServer(backend, max_wait_ms=args.max_wait_ms)
     print(f"index + engine resident in {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
     if args.warmup_queries:
         z = np.load(args.warmup_queries)
-        qs = [(z["q_terms"][i], z["q_vals"][i])
-              for i in range(len(z["q_terms"]))]
+        if "reps" in z:  # dense: [n, D] vectors
+            qs = list(z["reps"])
+        else:
+            qs = [(z["q_terms"][i], z["q_vals"][i])
+                  for i in range(len(z["q_terms"]))]
         print(f"warmup: {server.warmup(qs)}", file=sys.stderr)
     server.start()
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)

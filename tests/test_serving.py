@@ -284,6 +284,35 @@ def test_warmup_fills_rungs():
     assert set(seen_widths) == {2, 8}
 
 
+def test_cli_dense_wiring(tmp_path, monkeypatch):
+    """The CLI serves a serialized dense index (--dense_index_dir)."""
+    import jax.numpy as jnp
+
+    import scaling_retriever_tpu.serving.server as srv
+    from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
+
+    docs = RNG.standard_normal((20, 8)).astype(np.float32)
+    indexer = DenseFlatIndexer(dtype=jnp.float32, query_tile=4, chunk=32,
+                               selection="direct")
+    indexer.init_index(8)
+    indexer.index_data([(f"d{i}", docs[i]) for i in range(20)])
+    d = tmp_path / "dense"
+    d.mkdir()
+    indexer.serialize(str(d))
+
+    q = RNG.standard_normal(8).astype(np.float32)
+    captured = {}
+
+    def fake_serve(server, host, port, block=True):
+        captured["res"] = server.search(q)
+
+    monkeypatch.setattr(srv, "serve_http", fake_serve)
+    srv.main(["--dense_index_dir", str(d), "--topk", "5", "--width", "4"])
+    ids, scores = captured["res"]
+    want = np.argsort(-(docs @ q))[:5]
+    assert ids == [f"d{r}" for r in want]
+
+
 def test_server_drains_pending_on_stop():
     idx = _index()
     eng = SegsortEngine(idx, topk=5, query_terms_budget=8, min_budget=256,
