@@ -199,6 +199,24 @@ def test_sparse_auto_engine_driver(sparse_setup, tmp_path):
     _check_run(run, q_batches, q_dense, docs_dense, k=10)
 
 
+def test_write_run_false_skips_run_json(sparse_setup, tmp_path):
+    """Multi-pass benchmarking passes write_run=False on non-final passes:
+    q_stats.json is still written, run.json (and its Dev-scale dict build)
+    is not."""
+    model, _doc_batches, q_batches, index_dir, _out, _dd, _qd = sparse_setup
+    from scaling_retriever_tpu.index.sparse_retrieval import SparseRetrieval
+
+    out = tmp_path / "out"
+    r = SparseRetrieval(model, index_dir, out_dir=str(out), topk=5,
+                        engine="xla")
+    batches = [q_batches[0]]
+    res, stats = r.retrieve(batches, return_run=False, write_run=False)
+    assert (out / "q_stats.json").exists()
+    assert not (out / "run.json").exists()
+    res, stats = r.retrieve(batches, return_run=False, write_run=True)
+    assert (out / "run.json").exists()
+
+
 def test_depth2_pipeline_order_and_depth():
     """The shared driver helper drains every item exactly once, in order,
     and never holds more than ``depth`` dispatches in flight."""
