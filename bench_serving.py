@@ -50,7 +50,7 @@ TOPK = 1000
 WIDTH = 64
 T_BUDGET = 64
 SECONDS = 8.0           # per closed-loop measurement window
-CONCURRENCY = (1, 8, 64, 128)
+CONCURRENCY = (1, 8, 64, 128, 256)
 
 
 def log(m):
