@@ -68,6 +68,39 @@ class CppSparseEngine:
         self._values = np.ascontiguousarray(index.values, np.float32)
         _load()
 
+    def retrieve_sparse(self, terms: np.ndarray, vals: np.ndarray, topk: int,
+                        threshold: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+        """Score ONE query given directly as (terms, vals) — no dense
+        detour. Duplicate terms sum naturally in the scatter loop and
+        zero-valued pad slots contribute nothing (dropped by the
+        ``score > threshold`` filter, reference indexer.py:342), so padded
+        serving-format queries are safe as-is. Returns (rows [topk]
+        -1-padded, scores [topk]) descending — the serving slow lane for
+        queries whose DMA job need exceeds the resident tile budget."""
+        terms = np.ascontiguousarray(terms, np.int32)
+        vals = np.ascontiguousarray(vals, np.float32)
+        q_offsets = np.array([0, terms.size], np.int64)
+        out_rows = np.full((1, topk), -1, np.int32)
+        out_scores = np.zeros((1, topk), np.float32)
+        lib = _load()
+        lib.srt_score_topk(
+            _ptr(self._offsets, ctypes.c_int64),
+            _ptr(self._doc_rows, ctypes.c_int32),
+            _ptr(self._values, ctypes.c_float),
+            ctypes.c_int64(self.index.dim),
+            ctypes.c_int64(self.index.nb_docs()),
+            _ptr(q_offsets, ctypes.c_int64),
+            _ptr(terms, ctypes.c_int32),
+            _ptr(vals, ctypes.c_float),
+            ctypes.c_int64(1),
+            ctypes.c_int32(topk),
+            ctypes.c_float(threshold),
+            ctypes.c_int32(self.n_threads),
+            _ptr(out_rows, ctypes.c_int32),
+            _ptr(out_scores, ctypes.c_float),
+        )
+        return out_rows[0], out_scores[0]
+
     def retrieve(self, q_dense: np.ndarray, topk: int, threshold: float = 0.0
                  ) -> tuple[np.ndarray, np.ndarray]:
         """q_dense: [nq, V] float32. Returns (rows [nq, topk] -1-padded,

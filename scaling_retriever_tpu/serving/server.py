@@ -28,6 +28,13 @@ Design points, all measured elsewhere in this repo and reused here:
 * **Micro-batching window.** A request waits at most ``max_wait_ms`` for
   co-riders (default 2 ms — negligible next to a ~10 ms device tile, and
   zero when the queue already holds a tile's worth).
+* **Host slow lane for hot queries.** A query whose DMA job need exceeds
+  the resident tile budget (``max_need_jobs``, ~8.4M matched postings)
+  routes to the C++ CSR engine on the HOST (``hot_lane``) — the serving
+  analog of the batch driver's doc-major routing, but with zero extra HBM
+  (the doc-major arrays would not fit next to the CSR on one chip) and no
+  fast-lane stall: the slow lane runs on its own thread against the same
+  host CSR the index was loaded from. Exact, bounded by postings count.
 
 The HTTP front-end is stdlib-only (``http.server``): POST /search with
 JSON sparse reps (the ~48-nonzero SPLADE format), GET /stats, GET /healthz.
@@ -59,8 +66,14 @@ class SparseTileBackend:
     def __init__(self, engine, doc_ids: Optional[Sequence], n_docs: int,
                  width: int = 64, t_budget: int = 64, topk: int = 1000,
                  widths: Optional[Sequence[int]] = None,
-                 max_need_jobs: int = 8192):
+                 max_need_jobs: int = 8192, hot_lane=None):
         self.engine = engine
+        # slow lane for over-budget (hot-term) queries: an object with
+        # ``retrieve_sparse(terms, vals, topk) -> (rows, scores)`` scoring
+        # on the HOST (CppSparseEngine over the same CSR — zero extra HBM,
+        # and the device fast lane never stalls behind a pathological
+        # query). None = such queries are rejected at submit time.
+        self.hot_lane = hot_lane
         # None = identity mapping (row ids ARE the doc ids) — an 8.8M-entry
         # object array costs real RAM/build time a bench or a row-keyed
         # deployment never needs
@@ -80,26 +93,42 @@ class SparseTileBackend:
         self.max_need_jobs = max_need_jobs
         self.widenings = 0
 
-    def validate(self, query) -> None:
-        """Reject requests the engine cannot tile safely (called on the
-        CLIENT thread by submit, so only the offending request errors —
-        not its co-riders). A query whose DMA job need exceeds
-        ``max_need_jobs`` would force a sort slab far beyond the proven
-        operating envelope (PERFORMANCE.md memory note); the batch eval
-        driver routes such queries to the length-independent doc-major
-        scan, which a resident sparse server does not carry."""
+    def route(self, query) -> str:
+        """Pick a lane for the request (called on the CLIENT thread by
+        submit, so only the offending request errors — not its co-riders).
+        A query whose DMA job need exceeds ``max_need_jobs`` would force a
+        sort slab far beyond the proven operating envelope (PERFORMANCE.md
+        memory note): with a ``hot_lane`` it rides the host slow lane
+        (mirroring the batch eval driver's doc-major routing), otherwise
+        it is rejected."""
         if getattr(self.engine, "job_need", None) is None:
-            return
+            return "fast"
         terms, vals = query
         need = int(self.engine.job_need(
             np.asarray(terms, np.int32)[None, :],
             np.asarray(vals, np.float32)[None, :]).max())
-        if need > self.max_need_jobs:
-            raise ValueError(
-                f"query needs {need} DMA jobs > serving cap "
-                f"{self.max_need_jobs} (~{self.max_need_jobs * 1024 / 1e6:.0f}M "
-                f"matched postings); use the batch eval driver's hot-query "
-                f"routing for pathological streams")
+        if need <= self.max_need_jobs:
+            return "fast"
+        if self.hot_lane is not None:
+            return "hot"
+        raise ValueError(
+            f"query needs {need} DMA jobs > serving cap "
+            f"{self.max_need_jobs} (~{self.max_need_jobs * 1024 / 1e6:.0f}M "
+            f"matched postings); configure a hot_lane (CppSparseEngine) "
+            f"or use the batch eval driver's hot-query routing")
+
+    def search_hot(self, query, topk: int):
+        """Slow-lane scoring on the host engine; same result format as the
+        fast lane. Exact: term-at-a-time scatter-add over the same CSR."""
+        terms, vals = query
+        rows, scores = self.hot_lane.retrieve_sparse(
+            np.asarray(terms, np.int32), np.asarray(vals, np.float32),
+            self.topk)
+        valid = (rows >= 0) & (rows < self.n_docs) & np.isfinite(scores)
+        kept = rows[valid]
+        ids = (kept.tolist() if self.doc_ids is None
+               else self.doc_ids[kept].tolist())
+        return ids[:topk], scores[valid][:topk].astype(float).tolist()
 
     def pack(self, reqs: list) -> tuple[np.ndarray, np.ndarray]:
         """[(terms, vals), ...] → (q_terms, q_vals) padded to the smallest
@@ -188,8 +217,15 @@ class RetrievalServer:
         self._q: queue.Queue = queue.Queue(maxsize=queue_limit)
         self._thread: Optional[threading.Thread] = None
         self._started = False
+        # host slow lane for over-budget queries (backend.route → "hot"):
+        # its own worker pool so a pathological query never occupies the
+        # device worker. One worker by default — each hot query's scatter
+        # sweep already saturates a core and transiently allocates
+        # ~8 B x n_docs of accumulator.
+        self._hot_pool = None
         # stats
         self.n_requests = 0
+        self.n_hot = 0
         self.n_batches = 0
         self.batch_sizes: list[int] = []
         self.latencies_s: list[float] = []
@@ -200,6 +236,10 @@ class RetrievalServer:
     def start(self) -> "RetrievalServer":
         assert not self._started
         self._started = True
+        if getattr(self.backend, "hot_lane", None) is not None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._hot_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="srt-hot")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
@@ -208,6 +248,9 @@ class RetrievalServer:
         if self._started:
             self._q.put(_STOP)
             self._thread.join()
+            if self._hot_pool is not None:
+                self._hot_pool.shutdown(wait=True)
+                self._hot_pool = None
             self._started = False
             # a submit racing stop() can land BEHIND the sentinel; fail
             # those futures explicitly instead of abandoning them
@@ -240,14 +283,34 @@ class RetrievalServer:
         k = self.backend.topk
         if topk is not None and topk > k:
             raise ValueError(f"topk {topk} > compiled {k}")
-        validate = getattr(self.backend, "validate", None)
-        if validate is not None:
-            validate(query)  # raises on over-budget requests
+        route = getattr(self.backend, "route", None)
+        lane = route(query) if route is not None else "fast"
+        # raises on over-budget requests with no slow lane configured
         fut: Future = Future()
         with self._lock:
             self.n_requests += 1
-        self._q.put((query, topk or k, fut, time.perf_counter()))
+            if lane == "hot":
+                self.n_hot += 1
+        if lane == "hot":
+            self._submit_hot(query, topk or k, fut)
+        else:
+            self._q.put((query, topk or k, fut, time.perf_counter()))
         return fut
+
+    def _submit_hot(self, query, topk: int, fut: Future) -> None:
+        t_sub = time.perf_counter()
+
+        def run():
+            try:
+                res = self.backend.search_hot(query, topk)
+            except Exception as e:
+                fut.set_exception(e)
+                return
+            with self._lock:
+                self.latencies_s.append(time.perf_counter() - t_sub)
+            fut.set_result(res)
+
+        self._hot_pool.submit(run)
 
     def search(self, query, topk: Optional[int] = None):
         return self.submit(query, topk).result()
@@ -294,6 +357,7 @@ class RetrievalServer:
             lat = np.asarray(self.latencies_s, np.float64)
             sizes = self.batch_sizes[:]
         out = {"n_requests": self.n_requests, "n_batches": self.n_batches,
+               "n_hot": self.n_hot,
                "mean_batch": round(float(np.mean(sizes)), 2) if sizes else 0.0,
                "t_budget": self.backend.t_budget,
                "widenings": getattr(self.backend, "widenings", 0)}
@@ -471,6 +535,14 @@ def main(argv=None) -> None:
                     help="comma-separated width ladder (e.g. 8,64): "
                          "isolated requests ride the narrow rung")
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    ap.add_argument("--hot_lane", choices=("none", "cpp"), default="cpp",
+                    help="slow lane for over-budget hot-term queries: "
+                         "'cpp' scores them on the host C++ engine over "
+                         "the same CSR (no extra HBM; the device fast "
+                         "lane never stalls); 'none' rejects them")
+    ap.add_argument("--max_need_jobs", type=int, default=8192,
+                    help="DMA-job budget above which a query leaves the "
+                         "device fast lane (~1024 matched postings/job)")
     ap.add_argument("--warmup_queries", default=None,
                     help="npz with q_terms/q_vals arrays to pre-compile "
                          "the traffic's jit variants (strongly advised: a "
@@ -489,9 +561,17 @@ def main(argv=None) -> None:
 
         index = SparseIndex.load(args.index_dir)
         engine = SegsortEngine(index, topk=args.topk)
+        hot_lane = None
+        if args.hot_lane == "cpp":
+            from scaling_retriever_tpu.index.cpp_engine import CppSparseEngine
+
+            # shares the already-loaded host CSR (ascontiguousarray is a
+            # no-op view when dtypes match, which SparseIndex.load's are)
+            hot_lane = CppSparseEngine(index, n_threads=1)
         backend = SparseTileBackend(engine, index.doc_ids, index.nb_docs(),
                                     width=args.width, widths=widths,
-                                    topk=args.topk)
+                                    topk=args.topk, hot_lane=hot_lane,
+                                    max_need_jobs=args.max_need_jobs)
     else:
         from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
 

@@ -249,7 +249,8 @@ def test_submit_guards_raise(sparse_server):
 
 def test_validate_rejects_over_budget_query():
     """A query whose DMA job need exceeds the serving cap is rejected at
-    submit time (client thread), not dispatched."""
+    submit time (client thread) when no hot lane is configured, not
+    dispatched."""
     idx = _index()
     eng = SegsortEngine(idx, topk=5, query_terms_budget=8, min_budget=256,
                         fetch="gather")
@@ -261,6 +262,72 @@ def test_validate_rejects_over_budget_query():
     with RetrievalServer(backend) as server:
         with pytest.raises(ValueError):
             server.submit(_queries(1)[0])
+
+
+def test_hot_lane_routes_to_host_engine():
+    """With a hot lane, over-budget queries score on the host C++ engine
+    (exact, same CSR) instead of being rejected — and never occupy the
+    device worker (no device tiles dispatched)."""
+    from scaling_retriever_tpu.index.cpp_engine import CppSparseEngine
+
+    idx = _index()
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    if getattr(eng, "job_need", None) is None:
+        pytest.skip("gather engine lacks job_need on this build")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=4, t_budget=8, topk=10,
+                                max_need_jobs=0,
+                                hot_lane=CppSparseEngine(idx, n_threads=1))
+    with RetrievalServer(backend) as server:
+        for terms, vals in _queries(5):
+            ids, scores = server.search((terms, vals))
+            want = _oracle(idx, terms, vals, 10)
+            got = dict(zip(ids, scores))
+            assert set(got) == set(want)
+            for d, s in want.items():
+                np.testing.assert_allclose(got[d], s, rtol=1e-5)
+            assert scores == sorted(scores, reverse=True)
+        st = server.stats()
+        assert st["n_hot"] == 5 and st["n_batches"] == 0
+        assert st["latency_p50_ms"] > 0
+
+
+def test_hot_lane_mixed_stream():
+    """Normal queries ride the device fast lane while a hot-term query in
+    the same stream takes the slow lane; both are exact."""
+    from scaling_retriever_tpu.index.cpp_engine import CppSparseEngine
+
+    idx = _index()
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    if getattr(eng, "job_need", None) is None:
+        pytest.skip("gather engine lacks job_need on this build")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=4, t_budget=8, topk=10,
+                                max_need_jobs=20,
+                                hot_lane=CppSparseEngine(idx, n_threads=1))
+    hot_terms = np.arange(40, dtype=np.int32)  # ~1 job per matched term
+    hot_vals = np.full(40, 0.5, np.float32)
+    assert int(eng.job_need(hot_terms[None], hot_vals[None]).max()) > 20
+    server = RetrievalServer(backend, max_wait_ms=2.0)
+    server.warmup(_queries(4), passes=1)
+    with server:
+        fast_qs = _queries(4)
+        futs = [server.submit(q) for q in fast_qs]
+        hot_fut = server.submit((hot_terms, hot_vals))
+        for (terms, vals), f in zip(fast_qs, futs):
+            ids, scores = f.result(timeout=30)
+            want = _oracle(idx, terms, vals, 10)
+            assert set(ids) == set(want)
+        ids, scores = hot_fut.result(timeout=30)
+        want = _oracle(idx, hot_terms, hot_vals, 10)
+        got = dict(zip(ids, scores))
+        assert set(got) == set(want)
+        for d, s in want.items():
+            np.testing.assert_allclose(got[d], s, rtol=1e-5)
+        st = server.stats()
+        assert st["n_hot"] == 1 and st["n_batches"] >= 1
 
 
 def test_warmup_fills_rungs():
