@@ -85,7 +85,8 @@ def main() -> None:
         # The [nq] certificate is packed into the score transfer — a
         # separate small-buffer read pays the ~28 ms per-call RPC floor
         # per tile (PERFORMANCE.md small-read note)
-        s, r, ok = _search_chunked_blocked(docs, q, k=TOPK, chunk=CHUNK)
+        s, r, ok = _search_chunked_blocked(docs, q, k=TOPK, chunk=CHUNK,
+                                           topm="pallas")
         return jnp.concatenate([s, ok[:, None].astype(jnp.float32)], 1), r
 
     log("compiling ...")

@@ -849,3 +849,37 @@ def test_shard_by_rows_memory_bounded_at_100m():
     assert sum(s.nnz for s in shards) == nnz
     # outputs are 8 B/posting; chunk temporaries add O(chunk) only
     assert peak < nnz * 11, f"peak {peak / 1e9:.2f} GB exceeds 11 B/posting"
+
+
+def test_pallas_topm_matches_lax_topk():
+    """The Pallas per-block top-m extraction (interpret mode on CPU) is
+    bit-identical to lax.top_k over the reshaped slab — values AND indices
+    (both break ties toward the lower index)."""
+    import jax
+
+    from scaling_retriever_tpu.ops.pallas_topm import block_topm
+
+    rng = np.random.default_rng(21)
+    s = rng.standard_normal((13, 512)).astype(np.float32)  # nq % 8 != 0
+    s[3, 100] = s[3, 101] = s[3, 102]  # a tie within one block
+    bv, bi = block_topm(jnp.asarray(s), m=4, block=128, interpret=True)
+    rv, ri = jax.lax.top_k(jnp.asarray(s).reshape(13, 4, 128), 4)
+    np.testing.assert_array_equal(np.asarray(bv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
+
+
+def test_dense_blocked_pallas_topm_bit_equal():
+    """_search_chunked_blocked(topm="pallas_interpret") returns exactly the
+    lax.top_k variant's (scores, rows, certificate)."""
+    from scaling_retriever_tpu.index.dense_index import _search_chunked_blocked
+
+    rng = np.random.default_rng(22)
+    docs = jnp.asarray(rng.standard_normal((1024, 16)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    kw = dict(k=9, chunk=256, m=4, block=128)
+    s_x, r_x, ok_x = _search_chunked_blocked(docs, q, topm="xla", **kw)
+    s_p, r_p, ok_p = _search_chunked_blocked(docs, q,
+                                             topm="pallas_interpret", **kw)
+    np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_p))
+    np.testing.assert_array_equal(np.asarray(r_x), np.asarray(r_p))
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
