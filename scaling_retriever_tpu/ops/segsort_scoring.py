@@ -238,8 +238,8 @@ def _segsum_passes(out: jax.Array, srow: jax.Array, lo: int, hi: int
 
 
 def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
-               k: int, max_run: int, assumed_run: int = 8
-               ) -> tuple[jax.Array, jax.Array]:
+               k: int, max_run: int, assumed_run: int = 8,
+               topm: str = "xla") -> tuple[jax.Array, jax.Array]:
     """(rows, contrib) [nq, P] → (scores, rows) [nq, k].
 
     Per-query axis-1 sort (measured ~10% faster end-to-end than a flat
@@ -294,8 +294,17 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
     B = P // SEL_BLOCK if P % SEL_BLOCK == 0 else 0
     m = max(32, -(-k // max(B, 1)))
     if B >= 4 and m <= SEL_BLOCK and B * m >= k:
-        s3 = score.reshape(nq, B, SEL_BLOCK)
-        bv, bi = jax.lax.top_k(s3, m)                       # [nq, B, m]
+        if topm != "xla" and m <= 128:
+            # the Pallas iterative max-extraction (ops/pallas_topm.py) —
+            # same contract, 1.79x the lax.top_k stage (dense section of
+            # PERFORMANCE.md; bit-identical incl. tie-breaks)
+            from scaling_retriever_tpu.ops.pallas_topm import block_topm
+
+            bv, bi = block_topm(score, m, SEL_BLOCK,
+                                interpret=(topm == "pallas_interpret"))
+        else:
+            s3 = score.reshape(nq, B, SEL_BLOCK)
+            bv, bi = jax.lax.top_k(s3, m)                   # [nq, B, m]
         base = (jnp.arange(B, dtype=jnp.int32) * SEL_BLOCK)[None, :, None]
         gi = (bi + base).reshape(nq, B * m)
         v, sel = jax.lax.top_k(bv.reshape(nq, B * m), k)
@@ -335,7 +344,9 @@ def segsort_retrieve_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
     contrib = jnp.where(valid, vals * qw, 0.0)
     rows = jnp.where(valid, rows, sentinel)
     total = valid.sum(axis=1)
-    top_scores, top_rows = _rank_tail(rows, contrib, sentinel, k, T)
+    top_scores, top_rows = _rank_tail(
+        rows, contrib, sentinel, k, T,
+        topm="pallas_interpret" if interpret else "pallas")
     return top_scores, top_rows, total
 
 

@@ -715,17 +715,21 @@ def _rank_tail_expected(rows, contrib, sentinel, k):
 def _rank_tail_check(rows, contrib, sentinel, k):
     from scaling_retriever_tpu.ops.segsort_scoring import _rank_tail
 
-    s, r = _rank_tail(jnp.asarray(rows), jnp.asarray(contrib),
-                      jnp.int32(sentinel), k, 64)
-    s = np.asarray(s, np.float32)
-    r = np.asarray(r)
     want_s, want_r = _rank_tail_expected(rows, contrib, sentinel, k)
-    for qi in range(rows.shape[0]):
-        valid = np.isfinite(want_s[qi])
-        np.testing.assert_allclose(s[qi][valid], want_s[qi][valid],
-                                   rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(r[qi][valid], want_r[qi][valid])
-        assert not np.isfinite(s[qi][~valid]).any()
+    # the DMA production path runs the Pallas per-block top-m in the
+    # blocked branch (topm="pallas"); pin it against the same oracle as
+    # the lax.top_k variant via interpret mode
+    for topm in ("xla", "pallas_interpret"):
+        s, r = _rank_tail(jnp.asarray(rows), jnp.asarray(contrib),
+                          jnp.int32(sentinel), k, 64, topm=topm)
+        s = np.asarray(s, np.float32)
+        r = np.asarray(r)
+        for qi in range(rows.shape[0]):
+            valid = np.isfinite(want_s[qi])
+            np.testing.assert_allclose(s[qi][valid], want_s[qi][valid],
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(r[qi][valid], want_r[qi][valid])
+            assert not np.isfinite(s[qi][~valid]).any()
 
 
 def test_rank_tail_blocked_selection_certified_path():
