@@ -155,7 +155,7 @@ def main() -> None:
         "metric": "sparse_retrieval_qps_msmarco_scale",
         "value": round(qps, 1),
         "unit": ("queries/sec (8.84M docs, 1.13B UNIFORM postings, top-1000, "
-                 "1 chip; power-law counterpart: BENCH_ZIPF.json 556.8 QPS)"),
+                 "1 chip; power-law counterpart: BENCH_ZIPF.json 587.2 QPS)"),
         "vs_baseline": round(qps / BASELINE_QPS, 1),
     }))
 

@@ -45,8 +45,8 @@ from scaling_retriever_tpu.utils.run_accum import RunAccumulator
 
 def resolve_engine(engine: str, backend: Optional[str] = None) -> str:
     """Resolve "auto" to a concrete engine: segsort on an accelerator (the
-    measured fast path — 71.4x the CPU baseline on a power-law index with
-    MSMARCO-calibrated queries, 102.2x on uniform lists; PERFORMANCE.md has
+    measured fast path — 79.3x the CPU baseline on a power-law index with
+    MSMARCO-calibrated queries, 115x on uniform lists; PERFORMANCE.md has
     the full table), the XLA doc-major scan on CPU where tiny test indexes
     and interpret-mode Pallas make segsort the wrong default."""
     if engine != "auto":
