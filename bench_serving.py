@@ -50,7 +50,12 @@ TOPK = 1000
 WIDTH = 64
 T_BUDGET = 64
 SECONDS = 8.0           # per closed-loop measurement window
-CONCURRENCY = (1, 8, 64, 128, 256)
+CONCURRENCY = tuple(int(c) for c in os.environ.get(
+    "SRT_BENCH_CONC", "1,8,64,128,256").split(","))
+# broker dispatch-ahead depth: 2 measured best for closed-loop batch
+# formation on 80 ms tiles (round 3); overridable to re-test when tile
+# time or tunnel latency shifts
+PIPE_DEPTH = int(os.environ.get("SRT_BENCH_DEPTH", "2"))
 
 
 def log(m):
@@ -114,7 +119,8 @@ def main() -> None:
     # 8-wide rung), full batches the throughput-peak width
     backend = SparseTileBackend(engine, None, N_DOCS, widths=(8, WIDTH),
                                 t_budget=T_BUDGET, topk=TOPK)
-    server = RetrievalServer(backend, max_wait_ms=2.0)
+    server = RetrievalServer(backend, max_wait_ms=2.0,
+                             pipeline_depth=PIPE_DEPTH)
 
     rng = np.random.default_rng(0)
 

@@ -204,16 +204,25 @@ class RetrievalServer:
     """
 
     def __init__(self, backend, max_wait_ms: float = 2.0,
-                 queue_limit: int = 4096, pipeline_depth: int = 2):
+                 queue_limit: int = 4096, pipeline_depth: int = 2,
+                 max_pipeline_depth: int = 3):
         self.backend = backend
         self.max_wait = max_wait_ms / 1e3
-        # tiles dispatched ahead of the oldest drain under load. Default 2,
-        # NOT the batch drivers' 3: with closed-loop clients a deeper
+        # tiles dispatched ahead of the oldest drain under load. Base depth
+        # 2, NOT the batch drivers' 3: with closed-loop clients a deeper
         # pipeline drains the queue faster, so micro-batches form SMALLER
         # (measured at conc 128: depth 3 → mean batch 44 and 492 QPS vs
         # depth 2 → mean batch 58 and 570 QPS) — batch formation beats
-        # pipeline depth when requests arrive as results leave
+        # pipeline depth when requests arrive as results leave. ADAPTIVE
+        # deepening: when the queue ALREADY holds a full tile's worth,
+        # dispatching ahead cannot shrink the next batch (its riders are
+        # queued), so depth may grow to ``max_pipeline_depth`` — measured
+        # at saturation (conc 256, 71 ms tiles): depth 2 → 708.6 QPS,
+        # depth 3 → 855.9, mean batch 63 both ways; the fixed-depth-3 cost
+        # at mid-concurrency is exactly what the queue-length gate avoids
         self.pipeline_depth = max(1, pipeline_depth)
+        self.max_pipeline_depth = max(self.pipeline_depth,
+                                      max_pipeline_depth)
         self._q: queue.Queue = queue.Queue(maxsize=queue_limit)
         self._thread: Optional[threading.Thread] = None
         self._started = False
@@ -438,7 +447,12 @@ class RetrievalServer:
                                 fut.set_exception(e)
                         continue
                     pending.append((batch, payload, time.perf_counter()))
-                    if len(pending) >= self.pipeline_depth:
+                    # adaptive depth: with >= a full tile already queued,
+                    # dispatching ahead can't starve batch formation
+                    depth = (self.max_pipeline_depth
+                             if self._q.qsize() >= self.backend.width
+                             else self.pipeline_depth)
+                    if len(pending) >= depth:
                         self._resolve(pending.pop(0))
                     continue
             if pending:
