@@ -266,18 +266,28 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
     # run-to-run deterministic either way
     srow, scontrib = jax.lax.sort((rows, contrib), dimension=1, num_keys=1,
                                   is_stable=False)
-    assumed = min(assumed_run, max_run)
-    out = _segsum_passes(scontrib, srow, 1, assumed)
-    if assumed < max_run:
-        long_run = ((srow[:, assumed:] == srow[:, :-assumed])
-                    & (srow[:, assumed:] != sentinel))
-        out = jax.lax.cond(
-            long_run.any(),
-            lambda o: _segsum_passes(o, srow, assumed, max_run),
-            lambda o: o, out)
-    is_end = jnp.concatenate(
-        [srow[:, :-1] != srow[:, 1:], jnp.ones((nq, 1), bool)], axis=1)
-    score = jnp.where(is_end & (srow != sentinel), out, -jnp.inf)
+    from scaling_retriever_tpu.ops import pallas_segsum
+
+    if topm != "xla" and pallas_segsum.eligible(rows.shape[1], max_run):
+        # fused Pallas segsum + run-end + sentinel mask: one VMEM-resident
+        # pass instead of ~6 HBM sweeps (always exact — all doubling passes
+        # run in-register, so the assumed-run certificate is unnecessary)
+        score = pallas_segsum.segsum_mask(
+            srow, scontrib, sentinel, max_run,
+            interpret=(topm == "pallas_interpret"))
+    else:
+        assumed = min(assumed_run, max_run)
+        out = _segsum_passes(scontrib, srow, 1, assumed)
+        if assumed < max_run:
+            long_run = ((srow[:, assumed:] == srow[:, :-assumed])
+                        & (srow[:, assumed:] != sentinel))
+            out = jax.lax.cond(
+                long_run.any(),
+                lambda o: _segsum_passes(o, srow, assumed, max_run),
+                lambda o: o, out)
+        is_end = jnp.concatenate(
+            [srow[:, :-1] != srow[:, 1:], jnp.ones((nq, 1), bool)], axis=1)
+        score = jnp.where(is_end & (srow != sentinel), out, -jnp.inf)
 
     # lax.top_k over the full [nq, P] slab is a large share of tile time
     # (same finding as the dense engine — PERFORMANCE.md): select the top-m
