@@ -239,7 +239,8 @@ def _segsum_passes(out: jax.Array, srow: jax.Array, lo: int, hi: int
 
 def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
                k: int, max_run: int, assumed_run: int = 8,
-               topm: str = "xla") -> tuple[jax.Array, jax.Array]:
+               topm: str = "xla", sel_block: int = 4096,
+               sel_m: int = 32) -> tuple[jax.Array, jax.Array]:
     """(rows, contrib) [nq, P] → (scores, rows) [nq, k].
 
     Per-query axis-1 sort (measured ~10% faster end-to-end than a flat
@@ -300,9 +301,14 @@ def _rank_tail(rows: jax.Array, contrib: jax.Array, sentinel,
     # tau = -inf), an on-device lax.cond falls back to the direct top_k —
     # results are ALWAYS exact, only speed varies.
     P = score.shape[1]
-    SEL_BLOCK = 4096
+    SEL_BLOCK = sel_block
     B = P // SEL_BLOCK if P % SEL_BLOCK == 0 else 0
-    m = max(32, -(-k // max(B, 1)))
+    # the Pallas top-m cost is ~linear in m (m extraction rounds over every
+    # block element), so m is the smallest value whose certificate holds
+    # w.h.p.: the global top-k spreads ~Poisson(k/B) per block for hash-like
+    # doc ids, and the certificate needs every block to hold < m of the true
+    # top-k. A too-small m only costs speed (cond fallback), never results.
+    m = max(sel_m, -(-k // max(B, 1)))
     if B >= 4 and m <= SEL_BLOCK and B * m >= k:
         if topm != "xla" and m <= 128:
             # the Pallas iterative max-extraction (ops/pallas_topm.py) —
