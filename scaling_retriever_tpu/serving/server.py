@@ -466,11 +466,13 @@ class RetrievalServer:
 
 
 def serve_http(server: RetrievalServer, host: str = "127.0.0.1",
-               port: int = 8080, block: bool = True):
+               port: int = 8080, block: bool = True, frontend=None):
     """JSON-over-HTTP facade. POST /search body:
     ``{"queries": [{"id": "q1", "terms": [...], "vals": [...]}, ...],
        "topk": 10}``
-    (dense backends: ``{"id": ..., "vector": [...]}``) →
+    (dense backends: ``{"id": ..., "vector": [...]}``; with a
+    ``frontend`` — a started QueryEncoderFrontend — raw-text queries
+    ``{"id": ..., "text": "..."}`` are encoded on-chip first) →
     ``{"results": {"q1": {"d3": 12.5, ...}}}`` — the reference's run.json
     entry shape. GET /stats and GET /healthz for ops."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -491,7 +493,10 @@ def serve_http(server: RetrievalServer, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
-                self._send(200, server.stats())
+                stats = server.stats()
+                if frontend is not None:
+                    stats["encode"] = frontend.stats()
+                self._send(200, stats)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -505,13 +510,20 @@ def serve_http(server: RetrievalServer, host: str = "127.0.0.1",
                 topk = req.get("topk")
                 futs = []
                 for q in req["queries"]:
-                    if "vector" in q:
-                        query = np.asarray(q["vector"], np.float32)
+                    if "text" in q:
+                        if frontend is None:
+                            raise ValueError(
+                                "text queries need --model_name_or_path "
+                                "(no encoder frontend configured)")
+                        fut = frontend.submit_text(q["text"], topk)
+                    elif "vector" in q:
+                        fut = server.submit(
+                            np.asarray(q["vector"], np.float32), topk)
                     else:
-                        query = (np.asarray(q["terms"], np.int32),
-                                 np.asarray(q["vals"], np.float32))
-                    futs.append((str(q.get("id", len(futs))),
-                                 server.submit(query, topk)))
+                        fut = server.submit(
+                            (np.asarray(q["terms"], np.int32),
+                             np.asarray(q["vals"], np.float32)), topk)
+                    futs.append((str(q.get("id", len(futs))), fut))
                 results = {qid: dict(zip(map(str, f.result()[0]),
                                          f.result()[1]))
                            for qid, f in futs}
@@ -561,6 +573,19 @@ def main(argv=None) -> None:
                     help="npz with q_terms/q_vals arrays to pre-compile "
                          "the traffic's jit variants (strongly advised: a "
                          "cold variant costs 10-140 s mid-request)")
+    ap.add_argument("--model_name_or_path", default=None,
+                    help="sparse encoder checkpoint dir: enables raw-TEXT "
+                         "queries ({'text': ...}) via an on-chip "
+                         "micro-batched encode stage (text_frontend.py)")
+    ap.add_argument("--lora_name_or_path", default=None)
+    ap.add_argument("--query_max_length", type=int, default=64)
+    ap.add_argument("--t_sparse", type=int, default=64,
+                    help="top-T sparsification width for encoded queries")
+    ap.add_argument("--encode_widths", default="8,64",
+                    help="encoder tile width ladder")
+    ap.add_argument("--warmup_texts", default=None,
+                    help="text file (one query per line) to pre-compile "
+                         "and warm the encoder width rungs")
     args = ap.parse_args(argv)
 
     if (args.index_dir is None) == (args.dense_index_dir is None):
@@ -595,6 +620,24 @@ def main(argv=None) -> None:
     server = RetrievalServer(backend, max_wait_ms=args.max_wait_ms)
     print(f"index + engine resident in {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
+    frontend = None
+    if args.model_name_or_path:
+        if args.dense_index_dir:
+            ap.error("--model_name_or_path currently pairs with the sparse "
+                     "backend (--index_dir)")
+        from scaling_retriever_tpu.serving.text_frontend import (
+            QueryEncoderFrontend, load_sparse_encoder, make_encode_fn,
+            make_hf_tokenize_fn)
+
+        model, tokenizer = load_sparse_encoder(args.model_name_or_path,
+                                               args.lora_name_or_path)
+        frontend = QueryEncoderFrontend(
+            server, make_encode_fn(model, args.t_sparse),
+            make_hf_tokenize_fn(tokenizer, args.query_max_length),
+            widths=[int(w) for w in args.encode_widths.split(",")],
+            t_sparse=args.t_sparse, max_wait_ms=args.max_wait_ms)
+        print(f"encoder frontend resident "
+              f"({args.model_name_or_path})", file=sys.stderr)
     if args.warmup_queries:
         z = np.load(args.warmup_queries)
         if "reps" in z:  # dense: [n, D] vectors
@@ -603,11 +646,19 @@ def main(argv=None) -> None:
             qs = [(z["q_terms"][i], z["q_vals"][i])
                   for i in range(len(z["q_terms"]))]
         print(f"warmup: {server.warmup(qs)}", file=sys.stderr)
+    if frontend is not None and args.warmup_texts:
+        with open(args.warmup_texts) as f:
+            texts = [ln.strip() for ln in f if ln.strip()]
+        print(f"encoder warmup: {frontend.warmup(texts)}", file=sys.stderr)
     server.start()
+    if frontend is not None:
+        frontend.start()
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
     try:
-        serve_http(server, args.host, args.port)
+        serve_http(server, args.host, args.port, frontend=frontend)
     finally:
+        if frontend is not None:
+            frontend.stop()
         server.stop()
 
 

@@ -1,0 +1,280 @@
+"""Text-in serving: a micro-batched query-ENCODE stage in front of the
+retrieval broker.
+
+The reference serves nothing (its query encoding lives inside the offline
+eval CLIs, reference ``eval_sparse.py:109-162``); the resident server in
+``serving/server.py`` accepts pre-encoded sparse reps. This module closes
+the last gap to a retrieval *product*: clients POST raw text, the frontend
+coalesces texts into fixed-shape encoder tiles (same width-ladder +
+warm-pool discipline as the retrieval broker — every (width rung) is one
+jit variant whose first executions run 2-5x slow), runs the SPLADE
+forward + on-device top-T sparsification in ONE program, reads the result
+back as ONE packed array (terms as exact f32 integers next to the values —
+a small split read would pay the ~28 ms RPC floor twice), and feeds each
+rep through ``RetrievalServer.submit`` so hot-lane routing and submit-time
+validation apply to text traffic unchanged.
+
+The encode stage runs on its own thread: its device programs interleave
+with retrieval tiles on the XLA queue (an encoder tile is ~1-3 ms next to
+a ~70 ms retrieval tile, so fast-lane throughput is essentially
+unaffected), and the packed host read's RPC floor costs latency on the
+tunnel, not device time.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+_STOP = object()
+
+
+def load_sparse_encoder(model_dir: str, lora_name_or_path: Optional[str]
+                        = None):
+    """(model, tokenizer) from a checkpoint dir — same type dispatch as
+    the eval CLIs (evaluation/eval_sparse.py _load_model): model_type from
+    config.json picks the encoder class; an adapter_config.json means a
+    LoRA checkpoint."""
+    import json
+    import os
+
+    from transformers import AutoTokenizer
+
+    from scaling_retriever_tpu.models.encoder import (LlamaBiSparse,
+                                                      MistralBiSparse,
+                                                      Qwen2BiSparse)
+
+    model_type = "llama"
+    cfg_path = os.path.join(model_dir, "config.json")
+    if os.path.isdir(model_dir) and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        model_type = cfg.get("model_type", "llama")
+        if "peft_type" in cfg:
+            model_type = "llama"
+    cls = {"qwen2": Qwen2BiSparse,
+           "mistral": MistralBiSparse}.get(model_type, LlamaBiSparse)
+    if (os.path.isdir(model_dir)
+            and os.path.exists(os.path.join(model_dir,
+                                            "adapter_config.json"))):
+        model = cls.load_from_lora(model_dir)
+    elif lora_name_or_path:
+        model = cls.load(model_dir, lora_name_or_path=lora_name_or_path)
+    else:
+        model = cls.load(model_dir)
+    return model, AutoTokenizer.from_pretrained(model_dir)
+
+
+def make_hf_tokenize_fn(tokenizer, max_length: int = 64) -> Callable:
+    """Fixed-length tokenization matching the eval CLIs' query convention
+    (data/collators.py:_tokenize with fixed_length=True — static shapes so
+    live traffic reuses compiled encoder variants)."""
+    def tokenize(texts: Sequence[str]):
+        enc = tokenizer(list(texts), truncation=True, max_length=max_length,
+                        padding="max_length", return_tensors="np")
+        return (enc["input_ids"].astype(np.int32),
+                enc["attention_mask"].astype(np.int32))
+    return tokenize
+
+
+def make_encode_fn(model, t_sparse: int = 64) -> Callable:
+    """Jitted text-batch encoder: SPLADE forward -> top-``t_sparse``
+    sparsification -> ONE packed [w, 2*t_sparse] f32 array (term ids ride
+    as exact f32 integers — vocab ids are < 2^24). Weight-0 slots carry
+    term 0 and are ignored by the engines (val 0 => unused slot)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("t",))
+    def _encode(input_ids, attention_mask, t):
+        reps = model.encode(input_ids, attention_mask)       # [w, V]
+        vals, terms = jax.lax.top_k(reps, t)                 # [w, t]
+        vals = jnp.maximum(vals, 0.0)
+        terms = jnp.where(vals > 0, terms, 0)
+        return jnp.concatenate(
+            [terms.astype(jnp.float32), vals.astype(jnp.float32)], axis=1)
+
+    def encode(ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        packed = _encode(jnp.asarray(ids), jnp.asarray(mask), t_sparse)
+        return np.asarray(packed)                            # ONE host read
+    return encode
+
+
+class QueryEncoderFrontend:
+    """Micro-batching broker for text queries: collect -> tokenize ->
+    encode tile -> chain into ``server.submit``. Mirrors RetrievalServer's
+    width ladder; ``submit_text`` returns a Future resolving to the same
+    ``(doc_ids, scores)`` as the retrieval server."""
+
+    def __init__(self, server, encode_fn: Callable, tokenize_fn: Callable,
+                 widths: Sequence[int] = (8, 64), t_sparse: int = 64,
+                 max_wait_ms: float = 2.0):
+        self.server = server
+        self.encode_fn = encode_fn
+        self.tokenize_fn = tokenize_fn
+        self.widths = tuple(sorted(widths))
+        self.t_sparse = t_sparse
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._started = False
+        self._lock = threading.Lock()
+        self.n_texts = 0
+        self.n_encode_batches = 0
+        self.encode_latencies_s: list = []
+
+    # -- lifecycle -------------------------------------------------------
+
+    def warmup(self, sample_texts: Sequence[str], passes: int = 3) -> dict:
+        """Compile + warm every encoder width rung before serving (cold
+        executables run 2-5x slow for their first ~2-8 executions)."""
+        assert not self._started, "warm up before start()"
+        t0 = time.perf_counter()
+        n = 0
+        for w in self.widths:
+            if not sample_texts:
+                continue
+            reps = -(-w // len(sample_texts))
+            texts = (list(sample_texts) * reps)[:w]
+            ids, mask = self.tokenize_fn(texts)
+            for _ in range(passes):
+                self.encode_fn(ids, mask)
+                n += 1
+        return {"encode_warmup_s": round(time.perf_counter() - t0, 3),
+                "encode_warmup_tiles": n}
+
+    def start(self) -> "QueryEncoderFrontend":
+        assert self._thread is None, "already started"
+        self._started = True
+        self._thread = threading.Thread(target=self._loop,
+                                        name="encode-frontend", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if not self._started:
+            return
+        self._started = False
+        self._q.put(_STOP)
+        self._thread.join()
+        self._thread = None
+        # drain raced submits so no Future hangs
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _STOP:
+                item[2].set_exception(
+                    RuntimeError("encoder frontend stopped"))
+
+    def __enter__(self) -> "QueryEncoderFrontend":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- client API --------------------------------------------------------
+
+    def submit_text(self, text: str, topk: Optional[int] = None) -> Future:
+        if not self._started:
+            raise RuntimeError("frontend not started — a submit would hang")
+        if not isinstance(text, str) or not text.strip():
+            raise ValueError("text query must be a non-empty string")
+        fut: Future = Future()
+        with self._lock:
+            self.n_texts += 1
+        self._q.put((text, topk, fut, time.perf_counter()))
+        return fut
+
+    def search_text(self, text: str, topk: Optional[int] = None):
+        return self.submit_text(text, topk).result()
+
+    # -- worker ------------------------------------------------------------
+
+    def _collect(self, first) -> list:
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.widths[-1]:
+            remaining = deadline - time.perf_counter()
+            try:
+                item = self._q.get(timeout=max(remaining, 0.0))
+            except queue.Empty:
+                break
+            if item is _STOP:
+                batch.append(_STOP)
+                break
+            batch.append(item)
+        return batch
+
+    def _encode_batch(self, reqs: list) -> None:
+        texts = [r[0] for r in reqs]
+        width = next(w for w in self.widths if w >= len(texts))
+        padded = texts + [texts[-1]] * (width - len(texts))
+        try:
+            ids, mask = self.tokenize_fn(padded)
+            packed = self.encode_fn(ids, mask)
+        except Exception as e:  # propagate; keep serving
+            for _, _, fut, _ in reqs:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        t = self.t_sparse
+        with self._lock:
+            self.n_encode_batches += 1
+        for i, (_, topk, fut, t_sub) in enumerate(reqs):
+            vals = packed[i, t:]
+            keep = vals > 0
+            terms = packed[i, :t][keep].astype(np.int32)
+            try:
+                inner = self.server.submit((terms, vals[keep]), topk)
+            except Exception as e:  # validation/routing errors: this
+                fut.set_exception(e)  # request only, never co-riders
+                continue
+            with self._lock:
+                self.encode_latencies_s.append(time.perf_counter() - t_sub)
+
+            def _chain(done, fut=fut):
+                if fut.done():
+                    return
+                exc = done.exception()
+                if exc is not None:
+                    fut.set_exception(exc)
+                else:
+                    fut.set_result(done.result())
+
+            inner.add_done_callback(_chain)
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is _STOP:
+                return
+            batch = self._collect(item)
+            stop = batch and batch[-1] is _STOP
+            if stop:
+                batch = batch[:-1]
+            if batch:
+                self._encode_batch(batch)
+            if stop:
+                return
+
+    # -- stats ---------------------------------------------------------
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self.encode_latencies_s, np.float64)
+            out = {"n_texts": self.n_texts,
+                   "n_encode_batches": self.n_encode_batches}
+        if lat.size:
+            out["encode_p50_ms"] = round(
+                float(np.percentile(lat, 50)) * 1e3, 2)
+        return out

@@ -370,7 +370,7 @@ def test_cli_dense_wiring(tmp_path, monkeypatch):
     q = RNG.standard_normal(8).astype(np.float32)
     captured = {}
 
-    def fake_serve(server, host, port, block=True):
+    def fake_serve(server, host, port, block=True, frontend=None):
         captured["res"] = server.search(q)
 
     monkeypatch.setattr(srv, "serve_http", fake_serve)
@@ -392,3 +392,250 @@ def test_server_drains_pending_on_stop():
     for f in futs:
         ids, scores = f.result(timeout=5)
         assert len(ids) <= 5
+
+
+# ---------------------------------------------------------------------------
+# text-in frontend (serving/text_frontend.py)
+
+
+def _fake_text_stack(t_sparse=6):
+    """Deterministic text -> (terms, vals) with a packed encode_fn of the
+    make_encode_fn layout (terms as f32 in [:, :t], vals in [:, t:])."""
+    def text_rep(text):
+        r = np.random.default_rng(abs(hash(text)) % 2**31)
+        terms = r.choice(V, size=t_sparse, replace=False).astype(np.int32)
+        vals = r.uniform(0.2, 2.0, size=t_sparse).astype(np.float32)
+        return terms, vals
+
+    def tokenize(texts):
+        ids = np.zeros((len(texts), 4), np.int32)
+        for i, t in enumerate(texts):
+            ids[i] = abs(hash(t)) % 1000
+        return ids, np.ones_like(ids)
+
+    def encode(ids, mask):
+        out = np.zeros((ids.shape[0], 2 * t_sparse), np.float32)
+        for i in range(ids.shape[0]):
+            # invert: the test keeps a text list aligned with ids[i, 0]
+            out[i] = encode.table[int(ids[i, 0])]
+        return out
+
+    encode.table = {}
+
+    def register(text):
+        terms, vals = text_rep(text)
+        key = abs(hash(text)) % 1000
+        encode.table[key] = np.concatenate(
+            [terms.astype(np.float32), vals])
+        return terms, vals
+
+    return tokenize, encode, register
+
+
+def test_text_frontend_matches_direct_submit(sparse_server):
+    from scaling_retriever_tpu.serving.text_frontend import (
+        QueryEncoderFrontend)
+
+    server, _, idx = sparse_server
+    tokenize, encode, register = _fake_text_stack()
+    texts = [f"query number {i}" for i in range(11)]
+    reps = {t: register(t) for t in texts}
+    fe = QueryEncoderFrontend(server, encode, tokenize, widths=(4, 8),
+                              t_sparse=6, max_wait_ms=5.0).start()
+    try:
+        futs = {t: fe.submit_text(t, topk=10) for t in texts}
+        for t, fut in futs.items():
+            ids, scores = fut.result(timeout=20)
+            want_ids, want_scores = server.search(reps[t], topk=10)
+            assert ids == want_ids
+            np.testing.assert_allclose(scores, want_scores, rtol=1e-6)
+        st = fe.stats()
+        assert st["n_texts"] == len(texts)
+        assert st["n_encode_batches"] >= 2  # 11 texts through a (4,8) ladder
+    finally:
+        fe.stop()
+
+
+def test_text_frontend_guards_and_stop_drain(sparse_server):
+    from scaling_retriever_tpu.serving.text_frontend import (
+        QueryEncoderFrontend)
+
+    server, _, _ = sparse_server
+    tokenize, encode, register = _fake_text_stack()
+    fe = QueryEncoderFrontend(server, encode, tokenize, widths=(4,),
+                              t_sparse=6)
+    with pytest.raises(RuntimeError):
+        fe.submit_text("not started")
+    fe.start()
+    try:
+        with pytest.raises(ValueError):
+            fe.submit_text("   ")
+        register("late query")
+        fut = fe.submit_text("late query")
+    finally:
+        fe.stop()
+    # raced submit either resolved or got the stop exception — never hangs
+    try:
+        ids, _ = fut.result(timeout=5)
+        assert isinstance(ids, list)
+    except RuntimeError:
+        pass
+
+
+def test_text_frontend_encode_error_fails_only_batch(sparse_server):
+    from scaling_retriever_tpu.serving.text_frontend import (
+        QueryEncoderFrontend)
+
+    server, _, _ = sparse_server
+    tokenize, encode, register = _fake_text_stack()
+
+    def bad_encode(ids, mask):
+        raise ValueError("encoder exploded")
+
+    fe = QueryEncoderFrontend(server, bad_encode, tokenize, widths=(4,),
+                              t_sparse=6, max_wait_ms=1.0).start()
+    try:
+        fut = fe.submit_text("boom")
+        with pytest.raises(ValueError, match="encoder exploded"):
+            fut.result(timeout=10)
+    finally:
+        fe.stop()
+
+
+def test_text_frontend_real_encoder(tmp_path):
+    """End-to-end text -> tiny Llama sparse encoder -> retrieval, vs a
+    manual encode+submit oracle (pins make_encode_fn's packing and the
+    on-device top-T sparsification)."""
+    import jax.numpy as jnp
+
+    from scaling_retriever_tpu.models.encoder import LlamaBiSparse
+    from scaling_retriever_tpu.serving.text_frontend import (
+        QueryEncoderFrontend, make_encode_fn, make_hf_tokenize_fn)
+    from tests.helpers import make_tiny_llama_dir
+
+    mdir = tmp_path / "model"
+    make_tiny_llama_dir(str(mdir), vocab_size=256)
+    model = LlamaBiSparse.load(str(mdir))
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(str(mdir))
+
+    # index over the MODEL's vocab so encoded terms are in range
+    rows, cols, vals = [], [], []
+    for d in range(40):
+        nnz = RNG.integers(3, 9)
+        terms = RNG.choice(256, size=nnz, replace=False)
+        rows.extend([d] * nnz)
+        cols.extend(terms.tolist())
+        vals.extend(RNG.uniform(0.1, 3.0, size=nnz).tolist())
+    idx = SparseIndex.from_triples(
+        np.array(rows), np.array(cols), np.array(vals, np.float32),
+        [f"d{d}" for d in range(40)], 256)
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=4, t_budget=8, topk=10)
+    server = RetrievalServer(backend, max_wait_ms=2.0).start()
+
+    t_sparse = 8
+    tokenize_fn = make_hf_tokenize_fn(tokenizer, max_length=8)
+    encode_fn = make_encode_fn(model, t_sparse)
+    fe = QueryEncoderFrontend(server, encode_fn, tokenize_fn,
+                              widths=(4,), t_sparse=t_sparse,
+                              max_wait_ms=1.0)
+    fe.warmup(["hello world"], passes=1)
+    fe.start()
+    try:
+        texts = ["hello world", "retrieval test query", "llama sparse"]
+        got = {t: fe.submit_text(t, topk=10).result(timeout=60)
+               for t in texts}
+        for t in texts:
+            ids, mask = tokenize_fn([t])
+            reps = np.asarray(model.encode(jnp.asarray(ids),
+                                           jnp.asarray(mask)))[0]
+            order = np.argsort(-reps, kind="stable")[:t_sparse]
+            keep = reps[order] > 0
+            terms = order[keep].astype(np.int32)
+            want = server.search((terms, reps[order][keep]), topk=10)
+            assert got[t][0] == want[0]
+            np.testing.assert_allclose(got[t][1], want[1], rtol=1e-5)
+    finally:
+        fe.stop()
+        server.stop()
+
+
+def test_http_facade_text_queries(sparse_server):
+    import scaling_retriever_tpu.serving.server as srv
+    from scaling_retriever_tpu.serving.text_frontend import (
+        QueryEncoderFrontend)
+
+    server, _, idx = sparse_server
+    tokenize, encode, register = _fake_text_stack()
+    terms, vals = register("http text query")
+    fe = QueryEncoderFrontend(server, encode, tokenize, widths=(4,),
+                              t_sparse=6, max_wait_ms=1.0).start()
+    httpd = srv.serve_http(server, host="127.0.0.1", port=0, block=False,
+                           frontend=fe)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        body = json.dumps({"queries": [{"id": "t1",
+                                        "text": "http text query"}],
+                           "topk": 10}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            res = json.loads(r.read())["results"]["t1"]
+        want_ids, want_scores = server.search((terms, vals), topk=10)
+        assert set(res) == set(want_ids)
+        # /stats exposes the encode stage
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            st = json.loads(r.read())
+        assert st["encode"]["n_texts"] >= 1
+    finally:
+        httpd.shutdown()
+        fe.stop()
+
+
+def test_cli_text_wiring(tmp_path, monkeypatch):
+    """main() with --index_dir + --model_name_or_path builds the encoder
+    frontend, warms it from --warmup_texts, and serves a raw-text search."""
+    import scaling_retriever_tpu.serving.server as srv
+    from tests.helpers import make_tiny_llama_dir
+
+    mdir = tmp_path / "model"
+    make_tiny_llama_dir(str(mdir), vocab_size=256)
+    rows, cols, vals = [], [], []
+    for d in range(30):
+        nnz = RNG.integers(3, 9)
+        terms = RNG.choice(256, size=nnz, replace=False)
+        rows.extend([d] * nnz)
+        cols.extend(terms.tolist())
+        vals.extend(RNG.uniform(0.1, 3.0, size=nnz).tolist())
+    idx = SparseIndex.from_triples(
+        np.array(rows), np.array(cols), np.array(vals, np.float32),
+        [f"d{d}" for d in range(30)], 256)
+    d = tmp_path / "index"
+    d.mkdir()
+    idx.save(str(d))
+    wt = tmp_path / "warm.txt"
+    wt.write_text("hello world\nanother query\n")
+
+    captured = {}
+
+    def fake_serve(server, host, port, block=True, frontend=None):
+        captured["res"] = frontend.search_text("hello world", topk=5)
+        captured["stats"] = frontend.stats()
+
+    monkeypatch.setattr(srv, "serve_http", fake_serve)
+    srv.main(["--index_dir", str(d), "--model_name_or_path", str(mdir),
+              "--topk", "5", "--width", "4", "--widths", "4",
+              "--encode_widths", "4", "--t_sparse", "8",
+              "--query_max_length", "8", "--hot_lane", "none",
+              "--warmup_texts", str(wt)])
+    ids, scores = captured["res"]
+    assert len(ids) <= 5 and all(isinstance(i, str) for i in ids)
+    assert captured["stats"]["n_texts"] >= 1
