@@ -87,13 +87,20 @@ def make_encode_fn(model, t_sparse: int = 64) -> Callable:
     """Jitted text-batch encoder: SPLADE forward -> top-``t_sparse``
     sparsification -> ONE packed [w, 2*t_sparse] f32 array (term ids ride
     as exact f32 integers — vocab ids are < 2^24). Weight-0 slots carry
-    term 0 and are ignored by the engines (val 0 => unused slot)."""
+    term 0 and are ignored by the engines (val 0 => unused slot).
+
+    Params/LoRA ride as jit ARGUMENTS, not closure captures: a closed-over
+    1B param tree is serialized into the lowered program as 2.5 GB of
+    constants and shipped to the remote compile service per width rung —
+    the same pathology that wedged the round-2 train-step compile for
+    25+ min (passing params as an argument compiles in ~2 min)."""
     import jax
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("t",))
-    def _encode(input_ids, attention_mask, t):
-        reps = model.encode(input_ids, attention_mask)       # [w, V]
+    def _encode(params, lora, input_ids, attention_mask, t):
+        reps = model.encode_pure(params, lora,
+                                 input_ids, attention_mask)  # [w, V]
         vals, terms = jax.lax.top_k(reps, t)                 # [w, t]
         vals = jnp.maximum(vals, 0.0)
         terms = jnp.where(vals > 0, terms, 0)
@@ -103,7 +110,8 @@ def make_encode_fn(model, t_sparse: int = 64) -> Callable:
     def encode(ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
-        packed = _encode(jnp.asarray(ids), jnp.asarray(mask), t_sparse)
+        packed = _encode(model.params, model.lora, jnp.asarray(ids),
+                         jnp.asarray(mask), t_sparse)
         return np.asarray(packed)                            # ONE host read
     return encode
 

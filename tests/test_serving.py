@@ -407,10 +407,12 @@ def _fake_text_stack(t_sparse=6):
         vals = r.uniform(0.2, 2.0, size=t_sparse).astype(np.float32)
         return terms, vals
 
+    keys: dict = {}  # text -> unique small int (hash%N collides ~5%/run)
+
     def tokenize(texts):
         ids = np.zeros((len(texts), 4), np.int32)
         for i, t in enumerate(texts):
-            ids[i] = abs(hash(t)) % 1000
+            ids[i] = keys.setdefault(t, len(keys))
         return ids, np.ones_like(ids)
 
     def encode(ids, mask):
@@ -424,7 +426,7 @@ def _fake_text_stack(t_sparse=6):
 
     def register(text):
         terms, vals = text_rep(text)
-        key = abs(hash(text)) % 1000
+        key = keys.setdefault(text, len(keys))
         encode.table[key] = np.concatenate(
             [terms.astype(np.float32), vals])
         return terms, vals
