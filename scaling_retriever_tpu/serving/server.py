@@ -579,6 +579,13 @@ def main(argv=None) -> None:
                          "micro-batched encode stage (text_frontend.py)")
     ap.add_argument("--lora_name_or_path", default=None)
     ap.add_argument("--query_max_length", type=int, default=64)
+    ap.add_argument("--query_length_rungs", default="auto",
+                    help="comma list of token-length rungs for the encoder "
+                         "length ladder (batch pads to the smallest rung "
+                         "covering it — the XLA analog of the reference's "
+                         "padding='longest'); 'auto' = powers of two from "
+                         "16 to query_max_length; 'none' = single fixed "
+                         "length")
     ap.add_argument("--t_sparse", type=int, default=64,
                     help="top-T sparsification width for encoded queries")
     ap.add_argument("--encode_widths", default="8,64",
@@ -631,9 +638,19 @@ def main(argv=None) -> None:
 
         model, tokenizer = load_sparse_encoder(args.model_name_or_path,
                                                args.lora_name_or_path)
+        if args.query_length_rungs == "none":
+            rungs = None
+        elif args.query_length_rungs == "auto":
+            rungs, r = [], 16
+            while r < args.query_max_length:
+                rungs.append(r)
+                r *= 2
+        else:
+            rungs = [int(x) for x in args.query_length_rungs.split(",")]
         frontend = QueryEncoderFrontend(
             server, make_encode_fn(model, args.t_sparse),
-            make_hf_tokenize_fn(tokenizer, args.query_max_length),
+            make_hf_tokenize_fn(tokenizer, args.query_max_length,
+                                lengths=rungs),
             widths=[int(w) for w in args.encode_widths.split(",")],
             t_sparse=args.t_sparse, max_wait_ms=args.max_wait_ms)
         print(f"encoder frontend resident "

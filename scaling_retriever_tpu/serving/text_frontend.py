@@ -15,10 +15,14 @@ rep through ``RetrievalServer.submit`` so hot-lane routing and submit-time
 validation apply to text traffic unchanged.
 
 The encode stage runs on its own thread: its device programs interleave
-with retrieval tiles on the XLA queue (an encoder tile is ~1-3 ms next to
-a ~70 ms retrieval tile, so fast-lane throughput is essentially
-unaffected), and the packed host read's RPC floor costs latency on the
-tunnel, not device time.
+with retrieval tiles on the XLA queue, and the packed host read's RPC
+floor costs latency on the tunnel, not device time. The encoder is NOT
+free at production scale, though — measured at the Llama-3.2-1B
+architecture (scripts/text_serving_probe.py, PERFORMANCE.md): a 64-query
+x 64-token tile costs ~97 ms end-to-end (~68 ms device forward + ~28 ms
+packed-read RPC floor), comparable to the ~70 ms retrieval tile it feeds.
+The length ladder in ``make_hf_tokenize_fn`` is the lever: short real
+queries ride a 16-token rung at ~4x less encoder compute.
 """
 
 from __future__ import annotations
@@ -71,23 +75,64 @@ def load_sparse_encoder(model_dir: str, lora_name_or_path: Optional[str]
     return model, AutoTokenizer.from_pretrained(model_dir)
 
 
-def make_hf_tokenize_fn(tokenizer, max_length: int = 64) -> Callable:
+def make_hf_tokenize_fn(tokenizer, max_length: int = 64,
+                        lengths: Optional[Sequence[int]] = None) -> Callable:
     """Fixed-length tokenization matching the eval CLIs' query convention
     (data/collators.py:_tokenize with fixed_length=True — static shapes so
-    live traffic reuses compiled encoder variants)."""
-    def tokenize(texts: Sequence[str]):
-        enc = tokenizer(list(texts), truncation=True, max_length=max_length,
+    live traffic reuses compiled encoder variants).
+
+    ``lengths`` — optional LENGTH LADDER: the batch is padded to the
+    smallest rung that covers its longest query instead of always to
+    ``max_length``. This is the XLA analog of the reference's dynamic
+    ``padding="longest", pad_to_multiple_of=8`` query tokenization
+    (reference ``data_collator.py:8-22, :35``): encoder FLOPs scale with
+    the rung, and real query traffic (MSMARCO ~8-12 tokens) rides the
+    bottom rung at ~4x less encoder compute than a fixed 64-token tile
+    (measured at the 1B scale: 97 -> ~33 ms per 64-query encode tile, see
+    PERFORMANCE.md). Reps are rung-invariant: pads are masked in attention
+    and pooling, and with left padding the rung only shifts every real
+    token's position id by a constant — rope attention logits depend on
+    position DIFFERENCES only, so the math is identical (float noise from
+    different cos/sin arguments aside; pinned by
+    test_length_ladder_rung_invariance). Each (width, rung) pair is one
+    jit variant — warm them all via QueryEncoderFrontend.warmup before
+    serving."""
+    if lengths is None:
+        rungs = (max_length,)
+    else:
+        rungs = tuple(sorted({min(int(l), max_length) for l in lengths}
+                             | {max_length}))
+
+    def tokenize(texts: Sequence[str], length: Optional[int] = None):
+        if length is None:
+            probe = tokenizer(list(texts), truncation=True,
+                              max_length=max_length, padding=False,
+                              return_attention_mask=False)["input_ids"]
+            need = max((len(x) for x in probe), default=1)
+            length = next(r for r in rungs if r >= need)
+        enc = tokenizer(list(texts), truncation=True, max_length=length,
                         padding="max_length", return_tensors="np")
         return (enc["input_ids"].astype(np.int32),
                 enc["attention_mask"].astype(np.int32))
+
+    tokenize.lengths = rungs
     return tokenize
 
 
-def make_encode_fn(model, t_sparse: int = 64) -> Callable:
+def make_encode_fn(model, t_sparse: int = 64,
+                   pad_read_bytes: int = 0) -> Callable:
     """Jitted text-batch encoder: SPLADE forward -> top-``t_sparse``
-    sparsification -> ONE packed [w, 2*t_sparse] f32 array (term ids ride
-    as exact f32 integers — vocab ids are < 2^24). Weight-0 slots carry
-    term 0 and are ignored by the engines (val 0 => unused slot).
+    sparsification -> ONE packed [w, >=2*t_sparse] f32 array (term ids
+    ride as exact f32 integers — vocab ids are < 2^24; terms in
+    ``[:, :t]``, vals in ``[:, t:2t]``). Weight-0 slots carry term 0 and
+    are ignored by the engines (val 0 => unused slot).
+
+    ``pad_read_bytes`` > 0 zero-pads the packed array so the host read is
+    at least that many bytes: a [64, 128] f32 result is 32 KB, which pays
+    the ~28 ms small-read RPC floor AND serializes behind queued device
+    compute; padded to ~512 KB it rides the ~6 ms transfer path and
+    overlaps in-flight retrieval tiles (CLAUDE.md small-read gotcha —
+    measured in scripts/text_serving_probe.py / PERFORMANCE.md).
 
     Params/LoRA ride as jit ARGUMENTS, not closure captures: a closed-over
     1B param tree is serialized into the lowered program as 2.5 GB of
@@ -97,21 +142,28 @@ def make_encode_fn(model, t_sparse: int = 64) -> Callable:
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("t",))
-    def _encode(params, lora, input_ids, attention_mask, t):
+    @functools.partial(jax.jit, static_argnames=("t", "cols"))
+    def _encode(params, lora, input_ids, attention_mask, t, cols):
         reps = model.encode_pure(params, lora,
                                  input_ids, attention_mask)  # [w, V]
         vals, terms = jax.lax.top_k(reps, t)                 # [w, t]
         vals = jnp.maximum(vals, 0.0)
         terms = jnp.where(vals > 0, terms, 0)
-        return jnp.concatenate(
+        packed = jnp.concatenate(
             [terms.astype(jnp.float32), vals.astype(jnp.float32)], axis=1)
+        if cols > 2 * t:
+            packed = jnp.pad(packed, ((0, 0), (0, cols - 2 * t)))
+        return packed
 
     def encode(ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
+        cols = 2 * t_sparse
+        if pad_read_bytes:
+            per_row = -(-pad_read_bytes // (4 * ids.shape[0]))
+            cols = max(cols, per_row)
         packed = _encode(model.params, model.lora, jnp.asarray(ids),
-                         jnp.asarray(mask), t_sparse)
+                         jnp.asarray(mask), t_sparse, cols)
         return np.asarray(packed)                            # ONE host read
     return encode
 
@@ -138,24 +190,33 @@ class QueryEncoderFrontend:
         self.n_texts = 0
         self.n_encode_batches = 0
         self.encode_latencies_s: list = []
+        self.rung_tiles: dict = {}  # (width, q_len) -> tile count
 
     # -- lifecycle -------------------------------------------------------
 
     def warmup(self, sample_texts: Sequence[str], passes: int = 3) -> dict:
-        """Compile + warm every encoder width rung before serving (cold
-        executables run 2-5x slow for their first ~2-8 executions)."""
+        """Compile + warm every encoder (width, length-rung) variant
+        before serving (cold executables run 2-5x slow for their first
+        ~2-8 executions). Rungs come from the tokenize fn's ``lengths``
+        attribute when it has one (make_hf_tokenize_fn's length ladder);
+        a plain tokenize fn warms its single shape."""
         assert not self._started, "warm up before start()"
         t0 = time.perf_counter()
         n = 0
+        rungs = getattr(self.tokenize_fn, "lengths", None)
         for w in self.widths:
             if not sample_texts:
                 continue
             reps = -(-w // len(sample_texts))
             texts = (list(sample_texts) * reps)[:w]
-            ids, mask = self.tokenize_fn(texts)
-            for _ in range(passes):
-                self.encode_fn(ids, mask)
-                n += 1
+            for rung in (rungs if rungs else (None,)):
+                if rung is None:
+                    ids, mask = self.tokenize_fn(texts)
+                else:
+                    ids, mask = self.tokenize_fn(texts, length=rung)
+                for _ in range(passes):
+                    self.encode_fn(ids, mask)
+                    n += 1
         return {"encode_warmup_s": round(time.perf_counter() - t0, 3),
                 "encode_warmup_tiles": n}
 
@@ -238,8 +299,10 @@ class QueryEncoderFrontend:
         t = self.t_sparse
         with self._lock:
             self.n_encode_batches += 1
+            key = (width, int(ids.shape[1]))
+            self.rung_tiles[key] = self.rung_tiles.get(key, 0) + 1
         for i, (_, topk, fut, t_sub) in enumerate(reqs):
-            vals = packed[i, t:]
+            vals = packed[i, t:2 * t]
             keep = vals > 0
             terms = packed[i, :t][keep].astype(np.int32)
             try:
@@ -281,7 +344,9 @@ class QueryEncoderFrontend:
         with self._lock:
             lat = np.asarray(self.encode_latencies_s, np.float64)
             out = {"n_texts": self.n_texts,
-                   "n_encode_batches": self.n_encode_batches}
+                   "n_encode_batches": self.n_encode_batches,
+                   "rung_tiles": {f"{w}x{l}": c for (w, l), c
+                                  in sorted(self.rung_tiles.items())}}
         if lat.size:
             out["encode_p50_ms"] = round(
                 float(np.percentile(lat, 50)) * 1e3, 2)

@@ -49,24 +49,31 @@ def main():
     jax.block_until_ready(params)
     log(f"1B params on device in {time.perf_counter()-t0:.0f}s")
     model = LlamaBiSparse(params, config)
-    encode = make_encode_fn(model, T_SPARSE)
 
     rng = np.random.default_rng(0)
-    for width in (1, 8, 64):
-        ids = rng.integers(4, config.vocab_size, (width, Q_LEN)
-                           ).astype(np.int32)
-        mask = np.ones_like(ids)
-        packed = encode(ids, mask)          # compile
-        assert packed.shape == (width, 2 * T_SPARSE)
-        for _ in range(5):                  # warm the executable
-            encode(ids, mask)
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            packed = encode(ids, mask)      # host read inside
-        dt = (time.perf_counter() - t0) / REPS * 1e3
-        nz = int((packed[:, T_SPARSE:] > 0).sum(axis=1).mean())
-        log(f"width {width:3d}: {dt:6.1f} ms/tile end-to-end "
-            f"({dt/width:.2f} ms/query, ~{nz} nonzero terms/query)")
+    for pad_kb in (0, 512):                 # plain vs transfer-path read
+        encode = make_encode_fn(model, T_SPARSE,
+                                pad_read_bytes=pad_kb * 1024)
+        for q_len in (16, Q_LEN):           # length-ladder rungs
+            for width in (1, 8, 64):
+                ids = rng.integers(4, config.vocab_size, (width, q_len)
+                                   ).astype(np.int32)
+                mask = np.ones_like(ids)
+                packed = encode(ids, mask)  # compile
+                assert packed.shape[0] == width
+                assert packed.shape[1] >= 2 * T_SPARSE
+                for _ in range(5):          # warm the executable
+                    encode(ids, mask)
+                t0 = time.perf_counter()
+                for _ in range(REPS):
+                    packed = encode(ids, mask)  # host read inside
+                dt = (time.perf_counter() - t0) / REPS * 1e3
+                nz = int((packed[:, T_SPARSE:2 * T_SPARSE] > 0)
+                         .sum(axis=1).mean())
+                log(f"pad {pad_kb:3d}K q_len {q_len:2d} width {width:3d}: "
+                    f"{dt:6.1f} ms/tile end-to-end "
+                    f"({dt/width:.2f} ms/query, "
+                    f"~{nz} nonzero terms/query)")
 
 
 if __name__ == "__main__":

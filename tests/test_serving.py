@@ -641,3 +641,89 @@ def test_cli_text_wiring(tmp_path, monkeypatch):
     ids, scores = captured["res"]
     assert len(ids) <= 5 and all(isinstance(i, str) for i in ids)
     assert captured["stats"]["n_texts"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# query-length ladder (make_hf_tokenize_fn lengths=...)
+
+
+def test_tokenize_length_ladder(tmp_path):
+    from scaling_retriever_tpu.serving.text_frontend import (
+        make_hf_tokenize_fn)
+    from tests.helpers import make_tiny_tokenizer
+
+    tok = make_tiny_tokenizer(str(tmp_path))
+    fn = make_hf_tokenize_fn(tok, max_length=8, lengths=(4, 8))
+    assert fn.lengths == (4, 8)
+    ids, mask = fn(["w1 w2", "w3"])          # longest needs 2 -> rung 4
+    assert ids.shape == (2, 4)
+    assert mask.sum() == 3
+    ids, _ = fn(["w1 w2 w3 w4 w5"])          # needs 5 -> rung 8
+    assert ids.shape == (1, 8)
+    ids, mask = fn(["w1 " * 20])             # truncates at the top rung
+    assert ids.shape == (1, 8) and mask.sum() == 8
+    ids, _ = fn(["w1"], length=8)            # forced rung (warmup path)
+    assert ids.shape == (1, 8)
+    # rungs above max_length clamp; max_length always present
+    fn2 = make_hf_tokenize_fn(tok, max_length=6, lengths=(4, 16))
+    assert fn2.lengths == (4, 6)
+
+
+def test_length_ladder_rung_invariance(tmp_path):
+    """A short query's packed rep does not depend on the rung it rides:
+    pads are masked and rope logits see only position differences, so
+    rung-4 and rung-8 encodes agree (float noise aside)."""
+    from scaling_retriever_tpu.models.encoder import LlamaBiSparse
+    from scaling_retriever_tpu.serving.text_frontend import (
+        make_encode_fn, make_hf_tokenize_fn)
+    from tests.helpers import make_tiny_llama_dir
+    from transformers import AutoTokenizer
+
+    mdir = tmp_path / "model"
+    make_tiny_llama_dir(str(mdir), vocab_size=256)
+    model = LlamaBiSparse.load(str(mdir))
+    tokenizer = AutoTokenizer.from_pretrained(str(mdir))
+    tokenize = make_hf_tokenize_fn(tokenizer, max_length=8, lengths=(4, 8))
+    t_sparse = 8
+    encode = make_encode_fn(model, t_sparse)
+
+    for text in ["w1 w2", "w5", "w9 w10 w11"]:
+        a = encode(*tokenize([text]))[0]          # auto: rung 4
+        b = encode(*tokenize([text], length=8))[0]  # forced top rung
+        ra = dict(zip(a[:t_sparse].astype(int), a[t_sparse:]))
+        rb = dict(zip(b[:t_sparse].astype(int), b[t_sparse:]))
+        # same surviving terms, same weights (tolerate top-k order swaps
+        # between near-tied terms across the two evaluations)
+        assert set(k for k, v in ra.items() if v > 0) \
+            == set(k for k, v in rb.items() if v > 0)
+        for k, v in ra.items():
+            if v > 0:
+                np.testing.assert_allclose(v, rb[k], rtol=2e-3, atol=1e-5)
+
+
+def test_frontend_warmup_covers_all_rungs(sparse_server):
+    """warmup compiles every (width, rung) variant (the cold-executable
+    discipline applies per jit variant, and each rung is one)."""
+    from scaling_retriever_tpu.serving.text_frontend import (
+        QueryEncoderFrontend)
+
+    server, _, _ = sparse_server
+    seen_shapes = []
+
+    def ladder_tokenize(texts, length=None):
+        length = 4 if length is None else length
+        ids = np.zeros((len(texts), length), np.int32)
+        return ids, np.ones_like(ids)
+
+    ladder_tokenize.lengths = (4, 8)
+
+    def counting_encode(ids, mask):
+        seen_shapes.append(ids.shape)
+        return np.zeros((ids.shape[0], 12), np.float32)
+
+    fe = QueryEncoderFrontend(server, counting_encode, ladder_tokenize,
+                              widths=(4, 8), t_sparse=6, max_wait_ms=2.0)
+    warm = fe.warmup(["a", "b"], passes=2)
+    # 2 widths x 2 rungs x 2 passes
+    assert warm["encode_warmup_tiles"] == 8
+    assert sorted(set(seen_shapes)) == [(4, 4), (4, 8), (8, 4), (8, 8)]
