@@ -1,0 +1,228 @@
+"""TEXT-in serving benchmark: raw text -> on-chip 1B SPLADE encode ->
+micro-batched sparse retrieval, closed-loop, at MSMARCO scale on one chip.
+
+bench_serving.py measures the resident server with PRE-ENCODED sparse
+reps; this measures the full retrieval *product* path the reference never
+had: clients POST text, the QueryEncoderFrontend coalesces texts into
+encoder tiles (width ladder x query-LENGTH ladder — real queries are
+~8-12 tokens and ride the 16-token rung at ~4x less encoder compute than
+a fixed 64-token tile), the Llama-3.2-1B-architecture sparse encoder +
+on-device top-T sparsify runs as one program per tile, and each rep rides
+the same retrieval broker bench_serving measures. Both stages share the
+one chip: the ceiling is (encode tile + retrieval tile) device time per
+64 queries unless the pipeline overlaps them.
+
+Encoder weights are random bf16 (compute cost is architecture-determined,
+and there is no real checkpoint in this environment); the tokenizer is a
+synthetic 128k-entry WordLevel (queries sample ~8 "words" uniformly, so
+encoded reps exercise the same uniform-index cost model as bench.py /
+bench_serving.py). Same on-device index construction as bench_serving
+(the host link cannot upload a 9 GB CSR).
+
+Prints one JSON line; writes BENCH_TEXT.json.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bench_serving import _DeviceCSREngine  # noqa: E402
+from scaling_retriever_tpu.ops.pallas_fetch import CHUNK  # noqa: E402
+from scaling_retriever_tpu.serving.server import (  # noqa: E402
+    RetrievalServer, SparseTileBackend,
+)
+from scaling_retriever_tpu.serving.text_frontend import (  # noqa: E402
+    QueryEncoderFrontend, make_encode_fn, make_hf_tokenize_fn,
+)
+
+N_DOCS = 8_841_823
+K = 128
+VOCAB = 128_256
+TOPK = 1000
+WIDTH = 64
+T_SPARSE = 64
+Q_WORDS = 8                  # ~MSMARCO query length -> 16-token rung
+LENGTH_RUNGS = (16, 64)
+SECONDS = 8.0
+CONCURRENCY = tuple(int(c) for c in os.environ.get(
+    "SRT_BENCH_CONC", "1,64,128,256").split(","))
+PAD_READ_KB = int(os.environ.get("SRT_ENCODE_PAD_KB", "512"))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def make_128k_tokenizer():
+    """Synthetic WordLevel tokenizer over the full 128,256-id vocab (ids
+    2.. map to words w0..; whitespace pre-tokenizer) — host-side cost is
+    representative of real subword tokenization at query lengths."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<pad>": 0, "<unk>": 1}
+    for i in range(VOCAB - 2):
+        vocab[f"w{i}"] = i + 2
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    return PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<pad>", unk_token="<unk>",
+        padding_side="left")
+
+
+def main() -> None:
+    from scaling_retriever_tpu.models import llama
+    from scaling_retriever_tpu.models.config import ModelConfig
+    from scaling_retriever_tpu.models.encoder import LlamaBiSparse
+
+    log(f"devices: {jax.devices()}")
+
+    # -- index on device (identical to bench_serving.py) -------------------
+    per_term = (N_DOCS * K) // VOCAB
+    nnz = per_term * VOCAB
+
+    @jax.jit
+    def gen_rows():
+        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz + CHUNK, 1), 0)[:, 0]
+        h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
+        rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+        return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
+
+    t0 = time.perf_counter()
+    rows_flat = gen_rows()
+    _ = int(rows_flat[0])
+    valbits_flat = jnp.full((nnz + CHUNK,), np.float32(1.0).view(np.int32),
+                            jnp.int32)
+    _ = int(valbits_flat[0])
+    offsets = jnp.arange(VOCAB + 1, dtype=jnp.int32) * per_term
+    log(f"index on device in {time.perf_counter()-t0:.0f}s")
+
+    # -- 1B sparse encoder (Llama-3.2-1B architecture, random bf16) --------
+    config = ModelConfig(
+        vocab_size=VOCAB, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=64, rope_theta=500000.0, tie_word_embeddings=True,
+        max_position_embeddings=131072,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    params = llama.init_params(config, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    model = LlamaBiSparse(params, config)
+    log(f"1B encoder on device in {time.perf_counter()-t0:.0f}s")
+
+    engine = _DeviceCSREngine(rows_flat, valbits_flat, offsets, per_term)
+    backend = SparseTileBackend(engine, None, N_DOCS, widths=(8, WIDTH),
+                                t_budget=T_SPARSE, topk=TOPK)
+    server = RetrievalServer(backend, max_wait_ms=2.0, pipeline_depth=2)
+
+    tokenizer = make_128k_tokenizer()
+    tokenize_fn = make_hf_tokenize_fn(tokenizer, max_length=64,
+                                      lengths=LENGTH_RUNGS)
+    encode_fn = make_encode_fn(model, T_SPARSE,
+                               pad_read_bytes=PAD_READ_KB * 1024)
+    frontend = QueryEncoderFrontend(server, encode_fn, tokenize_fn,
+                                    widths=(8, WIDTH), t_sparse=T_SPARSE,
+                                    max_wait_ms=2.0)
+
+    rng = np.random.default_rng(0)
+    word_bank = [f"w{i}" for i in rng.choice(VOCAB - 2, size=4096,
+                                             replace=False)]
+
+    def make_text():
+        return " ".join(rng.choice(word_bank, size=Q_WORDS))
+
+    # -- warmup: encoder (width x rung) variants, then retrieval rungs -----
+    t0 = time.perf_counter()
+    warm_texts = [make_text() for _ in range(WIDTH)]
+    ew = frontend.warmup(warm_texts, passes=4)
+    log(f"encoder warmup: {ew}")
+    ids, mask = tokenize_fn(warm_texts)
+    packed = encode_fn(ids, mask)
+    reps = []
+    for i in range(WIDTH):
+        vals = packed[i, T_SPARSE:2 * T_SPARSE]
+        keep = vals > 0
+        reps.append((packed[i, :T_SPARSE][keep].astype(np.int32),
+                     vals[keep]))
+    rw = server.warmup(reps, passes=4)
+    log(f"retrieval warmup: {rw}")
+    warm_s = round(time.perf_counter() - t0, 1)
+
+    server.start()
+    frontend.start()
+
+    results = {}
+    for conc in CONCURRENCY:
+        with server._lock:
+            server.latencies_s.clear()
+            server.batch_sizes.clear()
+        done = [0] * conc
+        lat = [[] for _ in range(conc)]
+        stop_t = time.perf_counter() + SECONDS
+
+        def client(i):
+            while time.perf_counter() < stop_t:
+                t0 = time.perf_counter()
+                frontend.search_text(make_text())
+                lat[i].append(time.perf_counter() - t0)
+                done[i] += 1
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(conc)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        qps = sum(done) / dt
+        alllat = np.concatenate([np.asarray(x) for x in lat if x]) * 1e3
+        results[conc] = {
+            "qps": round(qps, 1),
+            "p50_ms": round(float(np.percentile(alllat, 50)), 1),
+            "p95_ms": round(float(np.percentile(alllat, 95)), 1),
+        }
+        log(f"concurrency {conc}: {qps:.1f} QPS text-in, "
+            f"p50 {results[conc]['p50_ms']} ms, "
+            f"p95 {results[conc]['p95_ms']} ms")
+        log(f"  server: {server.stats()}")
+        log(f"  frontend: {frontend.stats()}")
+    fs = frontend.stats()
+    log(f"frontend: {fs}")
+    frontend.stop()
+    server.stop()
+
+    best = max(r["qps"] for r in results.values())
+    out = {
+        "metric": "text_in_serving_qps",
+        "value": best,
+        "unit": (f"text queries/sec end-to-end (tokenize + 1B on-chip "
+                 f"encode + top-1000 retrieval over 8.84M docs / 1.13B "
+                 f"postings, one chip, closed-loop; per-concurrency: "
+                 + json.dumps(results)),
+        "vs_baseline": None,
+    }
+    print(json.dumps(out))
+    with open("BENCH_TEXT.json", "w") as f:
+        json.dump({"results": results, "frontend": fs,
+                   "encode_pad_read_kb": PAD_READ_KB,
+                   "length_rungs": list(LENGTH_RUNGS),
+                   "warmup_s": warm_s}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

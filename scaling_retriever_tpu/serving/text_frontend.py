@@ -155,16 +155,26 @@ def make_encode_fn(model, t_sparse: int = 64,
             packed = jnp.pad(packed, ((0, 0), (0, cols - 2 * t)))
         return packed
 
-    def encode(ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    def dispatch(ids: np.ndarray, mask: np.ndarray):
+        """Enqueue the encode program; returns the device array WITHOUT a
+        host read — the frontend's dispatch-ahead pipeline reads it after
+        dispatching the next tile (a sync read would wait behind every
+        in-flight retrieval tile on the FIFO device queue: measured 191 ms
+        p50 under load vs 43 ms isolated, bench_text.py)."""
         import jax.numpy as jnp
 
         cols = 2 * t_sparse
         if pad_read_bytes:
             per_row = -(-pad_read_bytes // (4 * ids.shape[0]))
             cols = max(cols, per_row)
-        packed = _encode(model.params, model.lora, jnp.asarray(ids),
-                         jnp.asarray(mask), t_sparse, cols)
-        return np.asarray(packed)                            # ONE host read
+        return _encode(model.params, model.lora, jnp.asarray(ids),
+                       jnp.asarray(mask), t_sparse, cols)
+
+    def encode(ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        return np.asarray(dispatch(ids, mask))               # ONE host read
+
+    encode.dispatch = dispatch
+    encode.read = np.asarray
     return encode
 
 
@@ -176,13 +186,20 @@ class QueryEncoderFrontend:
 
     def __init__(self, server, encode_fn: Callable, tokenize_fn: Callable,
                  widths: Sequence[int] = (8, 64), t_sparse: int = 64,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, pipeline_depth: int = 2):
         self.server = server
         self.encode_fn = encode_fn
         self.tokenize_fn = tokenize_fn
         self.widths = tuple(sorted(widths))
         self.t_sparse = t_sparse
         self.max_wait = max_wait_ms / 1e3
+        # dispatch-ahead depth: how many encode tiles may be in flight
+        # before the oldest is read. A serial read-then-dispatch loop
+        # waits behind every in-flight retrieval tile on the FIFO device
+        # queue (measured 191 ms p50 per encode tile under load vs 43 ms
+        # isolated — bench_text.py pad-read A/B); dispatching ahead keeps
+        # the encode stage at device cost.
+        self.pipeline_depth = max(1, pipeline_depth)
         self._q: queue.Queue = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._started = False
@@ -269,8 +286,8 @@ class QueryEncoderFrontend:
 
     # -- worker ------------------------------------------------------------
 
-    def _collect(self, first) -> list:
-        batch = [first]
+    def _collect(self, first, batch: Optional[list] = None) -> list:
+        batch = [first] if batch is None else batch + [first]
         deadline = time.perf_counter() + self.max_wait
         while len(batch) < self.widths[-1]:
             remaining = deadline - time.perf_counter()
@@ -284,14 +301,42 @@ class QueryEncoderFrontend:
             batch.append(item)
         return batch
 
-    def _encode_batch(self, reqs: list) -> None:
+    def _top_up(self, batch: list) -> list:
+        """Non-blocking queue drain into a sub-full batch (used between
+        pending-tile resolves: while the read runs, more texts arrive)."""
+        while len(batch) < self.widths[-1]:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            batch.append(item)
+            if item is _STOP:
+                break
+        return batch
+
+    def _dispatch_batch(self, reqs: list):
+        """Tokenize + enqueue one encode tile; returns (reqs, width, ids,
+        handle) for _resolve_batch, or None if dispatch failed (the
+        batch's futures get the exception; serving continues)."""
         texts = [r[0] for r in reqs]
         width = next(w for w in self.widths if w >= len(texts))
         padded = texts + [texts[-1]] * (width - len(texts))
+        dispatch = getattr(self.encode_fn, "dispatch", self.encode_fn)
         try:
             ids, mask = self.tokenize_fn(padded)
-            packed = self.encode_fn(ids, mask)
+            handle = dispatch(ids, mask)
         except Exception as e:  # propagate; keep serving
+            for _, _, fut, _ in reqs:
+                if not fut.done():
+                    fut.set_exception(e)
+            return None
+        return reqs, width, ids, handle
+
+    def _resolve_batch(self, reqs: list, width: int, ids, handle) -> None:
+        read = getattr(self.encode_fn, "read", None)
+        try:
+            packed = read(handle) if read is not None else handle
+        except Exception as e:
             for _, _, fut, _ in reqs:
                 if not fut.done():
                     fut.set_exception(e)
@@ -325,18 +370,41 @@ class QueryEncoderFrontend:
             inner.add_done_callback(_chain)
 
     def _loop(self) -> None:
+        import collections
+
+        pending: collections.deque = collections.deque()
         while True:
+            # drain first when the pipeline is full, or when it holds
+            # work and nothing new is queued (never sit on a result)
+            if pending and (len(pending) >= self.pipeline_depth
+                            or self._q.empty()):
+                self._resolve_batch(*pending.popleft())
+                continue
             item = self._q.get()
             if item is _STOP:
-                return
+                break
             batch = self._collect(item)
-            stop = batch and batch[-1] is _STOP
+            # sub-full batch while tiles are in flight: there is no hurry
+            # to dispatch (the device is busy anyway) — resolve the oldest
+            # pending tile and top the batch up with what arrived during
+            # the read. Narrow tiles are RPC-floor-bound (~28 ms for 8
+            # queries vs 43 ms for 64 at the 1B scale), so filling tiles
+            # is worth the wait exactly when the pipeline is non-empty.
+            while (pending and batch[-1] is not _STOP
+                   and len(batch) < self.widths[-1]):
+                self._resolve_batch(*pending.popleft())
+                batch = self._top_up(batch)
+            stop = bool(batch) and batch[-1] is _STOP
             if stop:
                 batch = batch[:-1]
             if batch:
-                self._encode_batch(batch)
+                dispatched = self._dispatch_batch(batch)
+                if dispatched is not None:
+                    pending.append(dispatched)
             if stop:
-                return
+                break
+        while pending:
+            self._resolve_batch(*pending.popleft())
 
     # -- stats ---------------------------------------------------------
 

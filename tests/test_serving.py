@@ -727,3 +727,48 @@ def test_frontend_warmup_covers_all_rungs(sparse_server):
     # 2 widths x 2 rungs x 2 passes
     assert warm["encode_warmup_tiles"] == 8
     assert sorted(set(seen_shapes)) == [(4, 4), (4, 8), (8, 4), (8, 8)]
+
+
+def test_text_frontend_pipelined_read_error_fails_only_batch(sparse_server):
+    """The dispatch/read split (dispatch-ahead pipeline): a read-side
+    failure must fail only its own batch's futures, and later batches
+    still serve."""
+    from scaling_retriever_tpu.serving.text_frontend import (
+        QueryEncoderFrontend)
+
+    server, _, _ = sparse_server
+    tokenize, encode, register = _fake_text_stack()
+
+    def dispatch(ids, mask):
+        return ids  # handle = the ids themselves
+
+    def read(handle):
+        if int(handle[0, 0]) == read.poison:
+            raise RuntimeError("read exploded")
+        return encode(handle, None)
+
+    def enc(ids, mask):
+        return read(dispatch(ids, mask))
+
+    enc.dispatch = dispatch
+    enc.read = read
+    texts = [f"pipe query {i}" for i in range(3)]
+    reps = {t: register(t) for t in texts}
+    # poison the key of texts[0] (keys are assigned in tokenize order)
+    read.poison = -1
+    fe = QueryEncoderFrontend(server, enc, tokenize, widths=(1,),
+                              t_sparse=6, max_wait_ms=0.5,
+                              pipeline_depth=2).start()
+    try:
+        f0 = fe.submit_text(texts[0])
+        f0.result(timeout=10)            # learn texts[0]'s key
+        ids, _ = tokenize([texts[0]])
+        read.poison = int(ids[0, 0])
+        fb = fe.submit_text(texts[0])    # this batch's read explodes
+        with pytest.raises(RuntimeError, match="read exploded"):
+            fb.result(timeout=10)
+        ok = fe.submit_text(texts[1]).result(timeout=10)  # still serving
+        want = server.search(reps[texts[1]])
+        assert ok[0] == want[0]
+    finally:
+        fe.stop()
