@@ -238,6 +238,12 @@ class RetrievalServer:
         self.n_batches = 0
         self.batch_sizes: list[int] = []
         self.latencies_s: list[float] = []
+        # wall-clock split of the worker loop (stats()["stage_s"]):
+        # "wait" = queue idle, "collect" = batch-formation window,
+        # "dispatch" = pack + engine dispatch, "drain" = finalize read +
+        # result conversion + future resolution.
+        self.stage_s = {"wait": 0.0, "collect": 0.0, "dispatch": 0.0,
+                        "drain": 0.0}
         self._lock = threading.Lock()
 
     # -- lifecycle -----------------------------------------------------
@@ -369,7 +375,8 @@ class RetrievalServer:
                "n_hot": self.n_hot,
                "mean_batch": round(float(np.mean(sizes)), 2) if sizes else 0.0,
                "t_budget": self.backend.t_budget,
-               "widenings": getattr(self.backend, "widenings", 0)}
+               "widenings": getattr(self.backend, "widenings", 0),
+               "stage_s": {k: round(v, 3) for k, v in self.stage_s.items()}}
         if lat.size:
             out.update({
                 "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
@@ -400,6 +407,7 @@ class RetrievalServer:
 
     def _resolve(self, pending) -> None:
         reqs, payload, t_drain = pending
+        t0 = time.perf_counter()
         try:
             results = self.backend.drain(payload, [r[0] for r in reqs])
         except Exception as e:  # propagate to every waiter, keep serving
@@ -414,6 +422,7 @@ class RetrievalServer:
             for (query, topk, fut, t_sub), (ids, sc) in zip(reqs, results):
                 self.latencies_s.append(now - t_sub)
                 fut.set_result((ids[:topk], sc[:topk]))
+        self.stage_s["drain"] += time.perf_counter() - t0
         _ = t_drain
 
     def _loop(self) -> None:
@@ -424,17 +433,22 @@ class RetrievalServer:
                 # under load (tiles in flight) poll non-blocking so pending
                 # tiles resolve as soon as traffic pauses; idle, block
                 # until traffic arrives
+                t0 = time.perf_counter()
                 first = self._q.get(block=not pending, timeout=None)
+                self.stage_s["wait"] += time.perf_counter() - t0
             except queue.Empty:
                 first = None
             if first is _STOP:
                 stop = True
             elif first is not None:
+                t0 = time.perf_counter()
                 batch = self._collect(first)
+                self.stage_s["collect"] += time.perf_counter() - t0
                 if batch and batch[-1] is _STOP:
                     stop = True
                     batch = batch[:-1]
                 if batch:
+                    t0 = time.perf_counter()
                     try:
                         payload = self.backend.dispatch(
                             [r[0] for r in batch])
@@ -446,6 +460,7 @@ class RetrievalServer:
                             if not fut.done():
                                 fut.set_exception(e)
                         continue
+                    self.stage_s["dispatch"] += time.perf_counter() - t0
                     pending.append((batch, payload, time.perf_counter()))
                     # adaptive depth: with >= a full tile already queued,
                     # dispatching ahead can't starve batch formation

@@ -208,6 +208,11 @@ class QueryEncoderFrontend:
         self.n_encode_batches = 0
         self.encode_latencies_s: list = []
         self.rung_tiles: dict = {}  # (width, q_len) -> tile count
+        # wall-clock split of the worker loop (stats()["stage_s"]): where
+        # does the encode thread spend its time under load? "wait" is queue
+        # idle; tokenize/dispatch/read/submit are the work stages.
+        self.stage_s = {"wait": 0.0, "tokenize": 0.0, "dispatch": 0.0,
+                        "read": 0.0, "submit": 0.0}
 
     # -- lifecycle -------------------------------------------------------
 
@@ -323,8 +328,13 @@ class QueryEncoderFrontend:
         padded = texts + [texts[-1]] * (width - len(texts))
         dispatch = getattr(self.encode_fn, "dispatch", self.encode_fn)
         try:
+            t0 = time.perf_counter()
             ids, mask = self.tokenize_fn(padded)
+            t1 = time.perf_counter()
             handle = dispatch(ids, mask)
+            t2 = time.perf_counter()
+            self.stage_s["tokenize"] += t1 - t0
+            self.stage_s["dispatch"] += t2 - t1
         except Exception as e:  # propagate; keep serving
             for _, _, fut, _ in reqs:
                 if not fut.done():
@@ -334,6 +344,7 @@ class QueryEncoderFrontend:
 
     def _resolve_batch(self, reqs: list, width: int, ids, handle) -> None:
         read = getattr(self.encode_fn, "read", None)
+        t0 = time.perf_counter()
         try:
             packed = read(handle) if read is not None else handle
         except Exception as e:
@@ -342,6 +353,8 @@ class QueryEncoderFrontend:
                     fut.set_exception(e)
             return
         t = self.t_sparse
+        t_read = time.perf_counter()
+        self.stage_s["read"] += t_read - t0
         with self._lock:
             self.n_encode_batches += 1
             key = (width, int(ids.shape[1]))
@@ -368,6 +381,7 @@ class QueryEncoderFrontend:
                     fut.set_result(done.result())
 
             inner.add_done_callback(_chain)
+        self.stage_s["submit"] += time.perf_counter() - t_read
 
     def _loop(self) -> None:
         import collections
@@ -380,7 +394,9 @@ class QueryEncoderFrontend:
                             or self._q.empty()):
                 self._resolve_batch(*pending.popleft())
                 continue
+            t0 = time.perf_counter()
             item = self._q.get()
+            self.stage_s["wait"] += time.perf_counter() - t0
             if item is _STOP:
                 break
             batch = self._collect(item)
@@ -414,7 +430,9 @@ class QueryEncoderFrontend:
             out = {"n_texts": self.n_texts,
                    "n_encode_batches": self.n_encode_batches,
                    "rung_tiles": {f"{w}x{l}": c for (w, l), c
-                                  in sorted(self.rung_tiles.items())}}
+                                  in sorted(self.rung_tiles.items())},
+                   "stage_s": {k: round(v, 3)
+                               for k, v in self.stage_s.items()}}
         if lat.size:
             out["encode_p50_ms"] = round(
                 float(np.percentile(lat, 50)) * 1e3, 2)
