@@ -17,6 +17,10 @@ Engines:
                  contiguous-DMA fetch (ops/segsort_scoring.py)
   * "maxscore" — impact-ordered pruned scoring with exact-rescore +
                  certified fallback (ops/maxscore.py)
+  * "bmx"      — block-max doc-range pruned segsort (ops/blockmax.py):
+                 two-pass exact pruning for CLUSTERED corpora (BP/URL-style
+                 doc-reordered); requires doc-sorted posting lists and
+                 gates itself back to the base path on scattered corpora
   * "cpp"      — native C++ CSR engine on host (index/cpp_engine.py), the
                  CPU fallback / parity oracle
 
@@ -118,6 +122,11 @@ class SparseRetrieval:
             from scaling_retriever_tpu.ops.maxscore import MaxScoreEngine
 
             self._seg = MaxScoreEngine(self.index, topk=topk)
+            self.n_docs = self.index.nb_docs()
+        elif engine == "bmx":
+            from scaling_retriever_tpu.ops.blockmax import BlockMaxSegsortEngine
+
+            self._seg = BlockMaxSegsortEngine(self.index, topk=topk)
             self.n_docs = self.index.nb_docs()
         elif engine == "xla":
             terms_np, vals_np = self.index.to_doc_major()
@@ -327,7 +336,7 @@ class SparseRetrieval:
 
         acc = RunAccumulator(qids, self.index.doc_ids, self.n_docs,
                              threshold=threshold)
-        if self.engine in ("segsort", "maxscore"):
+        if self.engine in ("segsort", "maxscore", "bmx"):
             tile = self.query_tile
             # sparsify the whole stream ONCE (or adopt pre-sparsified reps):
             # tiles slice from these arrays, so no per-tile argpartition
@@ -350,7 +359,7 @@ class SparseRetrieval:
             if nq and host_lens is not None:
                 q_terms, q_vals = q_sparse
                 cost = (host_lens[q_terms] * (q_vals > 0)).sum(axis=1)
-                if self.engine == "segsort":
+                if self.engine in ("segsort", "bmx"):
                     # per-tile engine routing: pessimal hot queries leave
                     # the sort-based engine entirely (see __init__)
                     hot = cost > self.hot_postings

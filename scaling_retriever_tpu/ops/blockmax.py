@@ -1,0 +1,460 @@
+"""Block-max doc-range pruned segsort ("bmx") for clustered corpora.
+
+The block-max study (PERFORMANCE.md "Block-max pruned segsort: measured
+negative", scripts/blockmax_sim2.py) closed impact-ordered chunk skipping
+as structurally unprofitable on flat SPLADE impacts, but found the
+DOC-ORDERED grid bound tight (63% of matched postings droppable at
+k=1000) — unrealizable at the 1024-posting DMA granularity only because
+the uniform synthetic's doc assignment scatters droppable cells. On a
+CLUSTERED corpus (real corpora after a BP/URL-style doc reorder — the
+standard companion of block-max indexes) droppable doc ranges are
+contiguous, chunks fall wholly inside them, and chunk-level skipping
+realizes. This module is that realization:
+
+* ``build_chunk_meta``: per term, per SUB-posting sub-block (default 256,
+  the BMW-literature granularity) of its doc-SORTED posting list: the
+  sub-block's max impact and its [lo, hi] doc span (~12 B per SUB
+  postings; ~53 MB at MSMARCO scale). Bounds are FINER than the
+  1024-posting DMA fetch granularity on purpose: a window straddling a
+  cluster boundary (or holding a term's scattered low-impact tail) spans
+  a huge doc range — at window granularity that single span poisons the
+  whole overlay with the window's max impact; at sub-block granularity
+  only the straddling sub-block is wide, and all-tail sub-blocks carry
+  their own low max.
+* query-time UB OVERLAY: each sub-block contributes qw*sub_max on its doc
+  span; one term's spans are disjoint (sorted list), so summing all T
+  step functions (one event sweep) yields, for every doc d, an upper
+  bound UB(d) on its total score.
+* keep decisions are made per sub-block and lifted to the DMA window
+  (kept iff ANY of its R = CHUNK/SUB sub-blocks is kept) — fetch
+  granularity stays 1024, bound granularity doesn't.
+* TWO-PASS exact retrieval, both passes through the same Pallas DMA fetch
+  + rank tail as the base engine (host-built job tables):
+    pass 1 keeps the top-UB doc regions covering ``cover * k`` docs and
+    scores them EXACTLY (any doc inside a kept segment has all its
+    postings in kept windows — a window holding one touches the doc's
+    segment). Its k-th score tau1 is a certified lower bound of the true
+    k-th. If tau1 already clears pass 1's own keep threshold, pass 1 was
+    exhaustive above tau1 and the result is final.
+    pass 2 otherwise keeps every segment with UB >= tau1 and rescores:
+    dropped docs have true score <= UB < tau1 <= tau2 (pass 2's k-th,
+    >= tau1 because its kept set is a superset), so they belong to
+    neither the computed nor the true top-k — exact by construction, no
+    fallback loop.
+* a kept-fraction GATE bounds hostile corpora: when pruning would keep
+  more than ``gate`` of the windows (the uniform synthetic, by design),
+  the tile dispatches through the unpruned base path and the pruner costs
+  one host pass and zero device time.
+
+Why partial scores are safe: dropping window c un-scores or partially
+scores only docs with a posting in c; every such posting lies in one of
+c's sub-blocks, whose span holds the doc, and every settled UB segment on
+every sub-block span of c is < tau (what made c droppable). A
+partially-scored doc's computed score <= its true score <= UB < tau <=
+tau_hat, so it cannot enter the computed top-k; a dropped doc's true
+score < tau_hat <= true k-th, so it is in neither top-k. Kept-segment
+docs are fully scored. Hence computed == true.
+
+Reference semantics preserved: threshold-filtered exact top-k scores
+(reference indexer.py:335-341) — results equal the unpruned engine's
+bit-for-bit on every certified path, and the gate guarantees the base
+path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaling_retriever_tpu.ops.pallas_fetch import ALIGN, CHUNK, PIPELINE
+from scaling_retriever_tpu.ops.segsort_scoring import (SegsortEngine,
+                                                       bucket_jobs)
+
+
+# ---------------------------------------------------------------------------
+# chunk metadata
+
+
+def check_doc_sorted(offsets: np.ndarray, doc_rows: np.ndarray) -> bool:
+    """True iff every posting list is ascending in doc row (the block-max
+    doc-span meta is meaningless otherwise). O(nnz) single compare."""
+    if len(doc_rows) < 2:
+        return True
+    asc = doc_rows[1:] >= doc_rows[:-1]
+    # positions where a new list starts may descend freely
+    starts = np.asarray(offsets[1:-1], dtype=np.int64)
+    starts = starts[(starts > 0) & (starts < len(doc_rows))]
+    asc[starts - 1] = True
+    return bool(asc.all())
+
+
+def build_chunk_meta(offsets: np.ndarray, doc_rows: np.ndarray,
+                     values: np.ndarray, sub: int = 256) -> dict:
+    """Per-(term, sub-block) metadata at SUB-posting granularity, padded
+    so every DMA window owns exactly R = CHUNK // sub sub-blocks. Windows
+    mirror the fetch kernel's job grid exactly
+    (pallas_fetch.fetch_postings_dma): term t's window j is the flat
+    slice [src_al + j*CHUNK, src_al + (j+1)*CHUNK) with
+    src_al = (offsets[t] // ALIGN) * ALIGN, restricted to t's list; its
+    sub-block r covers [src_al + (j*R + r)*sub, ...+sub) ∩ list.
+
+    Returns dict with ``term_chunk_offset`` [V+1] (CSR over per-term
+    WINDOW counts; sub-block s globally belongs to window s // R),
+    ``sub_max`` [NC*R] f32 (max impact in sub-block ∩ list; 0 for padded
+    empty sub-blocks), ``sub_lo``/``sub_hi`` [NC*R] i32 (doc span of
+    sub-block ∩ list — lists must be doc-sorted, so these are the
+    first/last rows; empty sub-blocks get lo=0, hi=-1, an interval no
+    doc inhabits), and ``sub``."""
+    assert CHUNK % sub == 0, (CHUNK, sub)
+    R = CHUNK // sub
+    offsets = np.asarray(offsets, np.int64)
+    V = len(offsets) - 1
+    starts, ends = offsets[:-1], offsets[1:]
+    src_al = (starts // ALIGN) * ALIGN
+    n_ch = np.where(ends > starts, -(-(ends - src_al) // CHUNK), 0)
+    tco = np.zeros(V + 1, np.int64)
+    np.cumsum(n_ch, out=tco[1:])
+    ns = int(tco[-1]) * R
+    term_of = np.repeat(np.arange(V, dtype=np.int64), n_ch * R)
+    j_of = np.arange(ns, dtype=np.int64) - tco[term_of] * R
+    w0 = src_al[term_of] + j_of * sub
+    seg_lo = np.maximum(w0, starts[term_of])
+    seg_hi = np.minimum(w0 + sub, ends[term_of])
+    live = seg_hi > seg_lo
+    # live segments tile [0, nnz) contiguously (CSR ends[t] ==
+    # starts[t+1]) with strictly increasing seg_lo, so one reduceat
+    # covers every sub-block-∩-list max
+    sub_max = np.zeros(ns, np.float32)
+    sub_lo = np.zeros(ns, np.int32)
+    sub_hi = np.full(ns, -1, np.int32)
+    if live.any():
+        sub_max[live] = np.maximum.reduceat(
+            np.asarray(values, np.float32), seg_lo[live])
+        sub_lo[live] = doc_rows[seg_lo[live]]
+        sub_hi[live] = doc_rows[seg_hi[live] - 1]
+    return {"term_chunk_offset": tco, "sub": sub, "sub_max": sub_max,
+            "sub_lo": sub_lo, "sub_hi": sub_hi}
+
+
+# ---------------------------------------------------------------------------
+# host-side pruning: UB overlay + keep passes + job tables
+
+
+def build_overlay(meta: dict, offsets: np.ndarray,
+                  q_terms: np.ndarray, q_vals: np.ndarray,
+                  n_docs: int) -> Optional[dict]:
+    """Per-tile upper-bound step function over doc space, one step per
+    (query, candidate SUB-BLOCK); job-table fields per (query, DMA
+    window). Returns None for an all-empty tile.
+
+    All vectorized numpy — this runs on the dispatch path, where the
+    depth-2 pipeline hides host work up to device-tile time."""
+    tco = meta["term_chunk_offset"]
+    R = CHUNK // meta["sub"]
+    nq, T = q_terms.shape
+    qt = np.asarray(q_terms, np.int64)
+    qv = np.asarray(q_vals, np.float32)
+    n_ch_t = np.diff(tco)[qt] * (qv > 0)                       # [nq, T]
+
+    e_cum = np.zeros(nq * T + 1, np.int64)
+    np.cumsum(n_ch_t.reshape(-1), out=e_cum[1:])
+    E = int(e_cum[-1])                                         # windows
+    if E == 0:
+        return None
+    flat_qt = np.repeat(np.arange(nq * T, dtype=np.int64),
+                        n_ch_t.reshape(-1))
+    j_within = np.arange(E, dtype=np.int64) - e_cum[flat_qt]
+    e_q = flat_qt // T
+    e_term = qt.reshape(-1)[flat_qt]
+    e_w = qv.reshape(-1)[flat_qt]
+    starts_t = offsets[e_term]
+    src = ((starts_t // ALIGN) * ALIGN + j_within * CHUNK).astype(np.int64)
+
+    # sub-block expansion: window entry i owns sub entries i*R .. i*R+R-1
+    # (meta is padded so every window has exactly R), preserving order —
+    # keep_entries lifts sub keeps back with a reshape(-1, R).any()
+    gsi = (((tco[e_term] + j_within) * R)[:, None]
+           + np.arange(R, dtype=np.int64)).reshape(-1)
+    s_q = np.repeat(e_q, R)
+    s_ub = np.repeat(e_w, R) * meta["sub_max"][gsi]
+    s_lo = meta["sub_lo"][gsi].astype(np.int64)
+    s_hi = meta["sub_hi"][gsi].astype(np.int64)    # empty sub: lo=0, hi=-1
+
+    # event sweep over (query-composite) doc space. Each query's deltas
+    # net to zero, so one global cumsum over (q, pos)-sorted events is
+    # already per-query (bases telescope to 0 at query boundaries).
+    OFF = np.int64(n_docs + 2)
+    ev_key = np.concatenate([s_q * OFF + s_lo, s_q * OFF + s_hi + 1])
+    ev_dlt = np.concatenate([s_ub, -s_ub])
+    # negatives first at equal positions: phantom zero-width segments then
+    # only DIP (can cause extra keeps, never wrong drops)
+    order = np.lexsort((ev_dlt, ev_key))
+    ev_key = ev_key[order]
+    ev_val = np.cumsum(ev_dlt[order].astype(np.float64)).astype(np.float32)
+    n_ev = len(ev_key)
+    seg_w = np.empty(n_ev, np.int64)                   # width to next event
+    seg_w[:-1] = ev_key[1:] - ev_key[:-1]
+    seg_w[-1] = 0
+    seg_q = (ev_key // OFF).astype(np.int64)
+    seg_w[:-1][seg_q[:-1] != seg_q[1:]] = 0            # last segment of a q
+
+    # per-sub-entry segment range: events exist at exactly s_lo and
+    # s_hi + 1, so side='right' - 1 lands on the SETTLED segment holding
+    # each bound. Empty subs (hi = -1) get i1 < i0 and are never kept.
+    i0 = np.searchsorted(ev_key, s_q * OFF + s_lo, side="right") - 1
+    i1 = np.searchsorted(ev_key, s_q * OFF + s_hi, side="right") - 1
+    return {"nq": nq, "R": R, "e_q": e_q, "e_w": e_w, "i0": i0, "i1": i1,
+            "src": src,
+            "lo_loc": np.clip(starts_t - src, 0, CHUNK).astype(np.int32),
+            "hi_loc": np.clip(offsets[e_term + 1] - src, 0, CHUNK
+                              ).astype(np.int32),
+            "ev_val": ev_val, "seg_w": seg_w, "seg_q": seg_q}
+
+
+def cover_tau(ov: dict, target_docs: float) -> np.ndarray:
+    """Pass-1 keep threshold per query: the UB level at which the kept
+    doc-width first covers ``target_docs`` docs (descending-UB sweep;
+    zero-width phantom segments never trigger the crossing)."""
+    nq = ov["nq"]
+    ev_val, seg_w, seg_q = ov["ev_val"], ov["seg_w"], ov["seg_q"]
+    o2 = np.lexsort((-ev_val, seg_q))
+    cw = np.cumsum(seg_w[o2].astype(np.float64))
+    q_sorted = seg_q[o2]
+    q_start = np.searchsorted(q_sorted, np.arange(nq))
+    q_end = np.searchsorted(q_sorted, np.arange(nq) + 1)
+    tau = np.zeros(nq, np.float32)
+    for q in range(nq):                                # nq <= 64: cheap
+        s, e = q_start[q], q_end[q]
+        if s >= e:
+            continue
+        local = cw[s:e] - (cw[s] - seg_w[o2[s]])
+        idx = min(np.searchsorted(local, target_docs), e - s - 1)
+        tau[q] = ev_val[o2[s + idx]]
+    return np.maximum(tau, 0.0)
+
+
+def keep_entries(ov: dict, tau: np.ndarray) -> np.ndarray:
+    """Window keep mask for per-query thresholds ``tau``: a sub-block is
+    kept iff any settled segment on its doc span has UB >= tau[q]; a DMA
+    window is kept iff any of its R sub-blocks is. One global suffix-min
+    suffices — indices are query-monotone, so cross-query leakage can
+    only fail the <= i1 test (never a wrong keep)."""
+    ev_val, seg_q = ov["ev_val"], ov["seg_q"]
+    n_ev = len(ev_val)
+    keep_seg = ev_val >= tau[seg_q]
+    nk = np.where(keep_seg, np.arange(n_ev), n_ev)
+    nk = np.minimum.accumulate(nk[::-1])[::-1]
+    kept_sub = nk[np.maximum(ov["i0"], 0)] <= ov["i1"]
+    return kept_sub.reshape(-1, ov["R"]).any(axis=1)
+
+
+def job_table(ov: dict, kept: np.ndarray) -> dict:
+    """Padded [nq, J] job arrays for ``blockmax_retrieve_dma`` from the
+    kept entries (J on the {2^k, 1.5*2^k} bucket grid)."""
+    nq = ov["nq"]
+    kq = ov["e_q"][kept]
+    cnt = np.bincount(kq, minlength=nq)
+    J = bucket_jobs(int(cnt.max(initial=1)))
+    slot_base = np.zeros(nq + 1, np.int64)
+    np.cumsum(cnt, out=slot_base[1:])
+    slot = np.arange(len(kq)) - slot_base[kq]
+    src_p = np.zeros((nq, J), np.int32)
+    lo_p = np.zeros((nq, J), np.int32)
+    hi_p = np.zeros((nq, J), np.int32)
+    qw_p = np.zeros((nq, J), np.float32)
+    src_p[kq, slot] = ov["src"][kept].astype(np.int32)
+    lo_p[kq, slot] = ov["lo_loc"][kept]
+    hi_p[kq, slot] = ov["hi_loc"][kept]
+    qw_p[kq, slot] = ov["e_w"][kept]
+    return {"src": src_p, "lo": lo_p, "hi": hi_p, "qw": qw_p,
+            "jobs_per_query": J,
+            "dropped_any": np.bincount(ov["e_q"][~kept],
+                                       minlength=nq) > 0}
+
+
+# ---------------------------------------------------------------------------
+# device: fetch a host-built job table, score, rank
+
+
+@functools.partial(jax.jit, static_argnames=("k", "jobs_per_query",
+                                             "n_docs", "max_run",
+                                             "interpret"))
+def blockmax_retrieve_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
+                          src: jax.Array, lo: jax.Array, hi: jax.Array,
+                          qw: jax.Array, k: int, jobs_per_query: int,
+                          n_docs: int, max_run: int,
+                          interpret: bool = False
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Same DMA fetch kernel as fetch_postings_dma, but the job table
+    (src [nq, J] ALIGN-aligned flat sources; lo/hi [nq, J] window-local
+    valid bounds; qw [nq, J] query weights) arrives as ARGUMENTS from the
+    host pruner instead of being derived on device — pruned job sets are
+    non-contiguous within a term's list, which the on-device builder
+    cannot express."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scaling_retriever_tpu.ops.pallas_fetch import _fetch_kernel
+    from scaling_retriever_tpu.ops.segsort_scoring import _rank_tail
+
+    nq, J = src.shape
+    nnz = rows_flat.shape[0]
+    p_pad = J * CHUNK
+    max_src = ((nnz - CHUNK) // ALIGN) * ALIGN
+    src_flat = jnp.clip(src.reshape(-1), 0, max_src)
+
+    total_jobs = nq * J
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total_jobs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((PIPELINE, 2))],
+    )
+    rows_o, vals_o = pl.pallas_call(
+        _fetch_kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((total_jobs * CHUNK,), jnp.int32),
+                   jax.ShapeDtypeStruct((total_jobs * CHUNK,), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(src_flat, rows_flat, valbits_flat)
+    rows = rows_o.reshape(nq, J, CHUNK)
+    vals = jax.lax.bitcast_convert_type(vals_o, jnp.float32
+                                        ).reshape(nq, J, CHUNK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CHUNK), 2)
+    valid = ((lane >= lo[:, :, None]) & (lane < hi[:, :, None])
+             & (qw[:, :, None] > 0))
+    sentinel = jnp.int32(n_docs)
+    contrib = jnp.where(valid, vals * qw[:, :, None], 0.0
+                        ).reshape(nq, p_pad)
+    rows = jnp.where(valid, rows, sentinel).reshape(nq, p_pad)
+    top_scores, top_rows = _rank_tail(
+        rows, contrib, sentinel, k, max_run,
+        topm="pallas_interpret" if interpret else "pallas")
+    return top_scores, top_rows
+
+
+# ---------------------------------------------------------------------------
+# engine
+
+
+class BlockMaxSegsortEngine(SegsortEngine):
+    """Two-pass block-max pruned segsort. Speaks the same async/finalize
+    protocol as the base engine, so SparseRetrieval and the serving
+    broker plug it in unchanged.
+
+    ``cover`` sizes pass 1 (the top-UB regions covering cover*k docs —
+    its k-th exact score seeds pass 2's threshold). ``gate`` bounds
+    hostile corpora: a pass whose kept window fraction exceeds it
+    dispatches through the unpruned base path instead. ``meta`` accepts
+    precomputed build_chunk_meta output (benches compute it on device
+    where the host never holds the index)."""
+
+    def __init__(self, index, topk: int = 1000, query_terms_budget: int = 64,
+                 cover: float = 4.0, gate: float = 0.85,
+                 meta: Optional[dict] = None, **kw):
+        super().__init__(index, topk=topk,
+                         query_terms_budget=query_terms_budget,
+                         fetch="dma", **kw)
+        if meta is None:
+            if not check_doc_sorted(index.offsets, index.doc_rows):
+                raise ValueError(
+                    "block-max pruning needs doc-sorted posting lists "
+                    "(run a doc reorder / sort lists first)")
+            meta = build_chunk_meta(index.offsets, index.doc_rows,
+                                    index.values)
+        self.meta = meta
+        self.cover = cover
+        self.gate = gate
+        self.n_gated_tiles = 0        # pass 1 or 2 exceeded the gate
+        self.n_pass1_final = 0        # pass 1 certified itself
+        self.n_pass2_tiles = 0
+        self.kept_frac_sum = 0.0      # pass-2 (or final) kept fraction
+        self.n_pruned_tiles = 0
+
+    # -- protocol --------------------------------------------------------
+
+    def _dispatch_jobs(self, plan: dict, T: int, k: int):
+        interpret = jax.default_backend() == "cpu"
+        return blockmax_retrieve_dma(
+            self.rows_flat, self.valbits_flat,
+            jnp.asarray(plan["src"]), jnp.asarray(plan["lo"]),
+            jnp.asarray(plan["hi"]), jnp.asarray(plan["qw"]),
+            k=k, jobs_per_query=plan["jobs_per_query"],
+            n_docs=self.n_docs, max_run=T, interpret=interpret)
+
+    def retrieve_tile_async(self, q_dense, topk=None, sparsified=None):
+        topk = topk or self.topk
+        q_terms, q_vals = (sparsified if sparsified is not None
+                           else self.sparsify_queries(q_dense))
+        k = min(topk, self.n_docs)
+        ov = build_overlay(self.meta, self._host_offsets.astype(np.int64),
+                           q_terms, q_vals, self.n_docs)
+        if ov is None:
+            return ("base", super().retrieve_tile_async(
+                None, topk, sparsified=(q_terms, q_vals)))
+        tau1 = cover_tau(ov, max(1.0, self.cover * k))
+        kept1 = keep_entries(ov, tau1)
+        if kept1.mean() > self.gate:
+            self.n_gated_tiles += 1
+            return ("base", super().retrieve_tile_async(
+                None, topk, sparsified=(q_terms, q_vals)))
+        plan1 = job_table(ov, kept1)
+        s1, r1 = self._dispatch_jobs(plan1, q_terms.shape[1], k)
+        # pass 2 is built in finalize — it needs pass 1's k-th scores
+        return ("bmx", s1, r1, tau1, plan1["dropped_any"], ov,
+                (q_terms, q_vals), topk)
+
+    def finalize(self, payload):
+        if payload[0] == "base":
+            return super().finalize(payload[1])
+        _, s1_d, r1_d, tau1, dropped1, ov, sparsified, topk = payload
+        s1 = np.asarray(s1_d, np.float32)
+        r1 = np.asarray(r1_d)
+        k = s1.shape[1]
+        tau_hat1 = s1[:, k - 1]
+        # pass 1 exhaustive above tau1: every dropped segment's UB < tau1
+        # <= tau_hat1 means nothing dropped can reach the top-k
+        done = (~dropped1) | (tau_hat1 >= tau1)
+        self.n_pruned_tiles += 1
+        if done.all():
+            self.n_pass1_final += 1
+            self.kept_frac_sum += 1.0 - float(np.mean(~done))
+            return s1, r1
+        # pass 2: keep everything with UB >= tau_hat1 (superset of pass 1
+        # wherever tau_hat1 <= tau1; exact by construction — see module
+        # docstring). -inf k-th (under-filled pass 1) keeps everything.
+        tau2 = np.where(done, tau1, np.minimum(tau_hat1, tau1))
+        tau2_f = np.where(np.isfinite(tau2), tau2, 0.0).astype(np.float32)
+        kept2 = keep_entries(ov, tau2_f)
+        self.kept_frac_sum += float(kept2.mean())
+        if kept2.mean() > self.gate:
+            self.n_gated_tiles += 1
+            return super().finalize(super().retrieve_tile_async(
+                None, topk, sparsified=sparsified))
+        self.n_pass2_tiles += 1
+        plan2 = job_table(ov, kept2)
+        s2, r2 = self._dispatch_jobs(plan2, sparsified[0].shape[1],
+                                     min(topk, self.n_docs))
+        s2 = np.asarray(s2, np.float32).copy()
+        r2 = np.asarray(r2).copy()
+        # rows certified final in pass 1 keep their pass-1 results (equal
+        # anyway where both certified; this guards tau2 > tau1 rows)
+        s2[done] = s1[done]
+        r2[done] = r1[done]
+        return s2, r2
+
+    def stats(self) -> dict:
+        return {"pruned_tiles": self.n_pruned_tiles,
+                "gated_tiles": self.n_gated_tiles,
+                "pass1_final_tiles": self.n_pass1_final,
+                "pass2_tiles": self.n_pass2_tiles,
+                "mean_kept_frac": round(
+                    self.kept_frac_sum / max(1, self.n_pruned_tiles), 4)}
