@@ -433,7 +433,19 @@ class SparseRetrieval:
                 stats["warmup_s"] = round(time.perf_counter() - t_w, 4)
                 stats["warmup_tiles"] = len(warm)
                 t_s = time.perf_counter()
-                depth2_pipeline(steady, _dispatch, _drain)
+                if hasattr(self._seg, "continue_async"):
+                    # two-pass engine (bmx): give pass 2 its own pipeline
+                    # stage so its dispatch->read round-trip overlaps later
+                    # tiles' pass-1 compute (utils.staged_pipeline)
+                    from scaling_retriever_tpu.utils.utils import \
+                        staged_pipeline
+
+                    staged_pipeline(
+                        steady, _dispatch,
+                        lambda p: (p[0], self._seg.continue_async(p[1])),
+                        _drain)
+                else:
+                    depth2_pipeline(steady, _dispatch, _drain)
                 steady_s = time.perf_counter() - t_s
                 stats["steady_s"] = round(steady_s, 4)
                 stats["steady_qps"] = (round(

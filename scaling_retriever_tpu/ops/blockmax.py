@@ -364,6 +364,10 @@ class BlockMaxSegsortEngine(SegsortEngine):
                          query_terms_budget=query_terms_budget,
                          fetch="dma", **kw)
         if meta is None:
+            if index is None:
+                raise ValueError("device_csr construction requires "
+                                 "precomputed meta= (the host never holds "
+                                 "the posting arrays)")
             if not check_doc_sorted(index.offsets, index.doc_rows):
                 raise ValueError(
                     "block-max pruning needs doc-sorted posting lists "
@@ -412,9 +416,18 @@ class BlockMaxSegsortEngine(SegsortEngine):
         return ("bmx", s1, r1, tau1, plan1["dropped_any"], ov,
                 (q_terms, q_vals), topk)
 
-    def finalize(self, payload):
-        if payload[0] == "base":
-            return super().finalize(payload[1])
+    def continue_async(self, payload):
+        """Stage boundary for pipelined drivers: read pass-1 results (the
+        read is cheap when the driver kept later tiles in flight — it only
+        waits for THIS tile's pass 1) and DISPATCH pass 2 without reading
+        it, so pass-2 compute overlaps the next tiles' pass 1. finalize()
+        also accepts the raw retrieve_tile_async payload and then runs both
+        stages back-to-back — correct, but the pass-2 device round-trip
+        serializes per tile (the bmx bench measured the staged driver at
+        ~2x the collapsed one on the clustered corpus). Idempotent on
+        already-advanced payloads."""
+        if payload[0] != "bmx":
+            return payload
         _, s1_d, r1_d, tau1, dropped1, ov, sparsified, topk = payload
         s1 = np.asarray(s1_d, np.float32)
         r1 = np.asarray(r1_d)
@@ -426,8 +439,8 @@ class BlockMaxSegsortEngine(SegsortEngine):
         self.n_pruned_tiles += 1
         if done.all():
             self.n_pass1_final += 1
-            self.kept_frac_sum += 1.0 - float(np.mean(~done))
-            return s1, r1
+            self.kept_frac_sum += 1.0
+            return ("p1done", s1, r1)
         # pass 2: keep everything with UB >= tau_hat1 (superset of pass 1
         # wherever tau_hat1 <= tau1; exact by construction — see module
         # docstring). -inf k-th (under-filled pass 1) keeps everything.
@@ -437,14 +450,23 @@ class BlockMaxSegsortEngine(SegsortEngine):
         self.kept_frac_sum += float(kept2.mean())
         if kept2.mean() > self.gate:
             self.n_gated_tiles += 1
-            return super().finalize(super().retrieve_tile_async(
+            return ("base", super().retrieve_tile_async(
                 None, topk, sparsified=sparsified))
         self.n_pass2_tiles += 1
         plan2 = job_table(ov, kept2)
-        s2, r2 = self._dispatch_jobs(plan2, sparsified[0].shape[1],
-                                     min(topk, self.n_docs))
-        s2 = np.asarray(s2, np.float32).copy()
-        r2 = np.asarray(r2).copy()
+        s2_d, r2_d = self._dispatch_jobs(plan2, sparsified[0].shape[1],
+                                         min(topk, self.n_docs))
+        return ("p2", s2_d, r2_d, done, s1, r1)
+
+    def finalize(self, payload):
+        payload = self.continue_async(payload)
+        if payload[0] == "base":
+            return super().finalize(payload[1])
+        if payload[0] == "p1done":
+            return payload[1], payload[2]
+        _, s2_d, r2_d, done, s1, r1 = payload
+        s2 = np.asarray(s2_d, np.float32).copy()
+        r2 = np.asarray(r2_d).copy()
         # rows certified final in pass 1 keep their pass-1 results (equal
         # anyway where both certified; this guards tau2 > tau1 rows)
         s2[done] = s1[done]

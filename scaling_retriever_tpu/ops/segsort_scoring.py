@@ -377,11 +377,32 @@ class SegsortEngine:
 
     def __init__(self, index, topk: int = 1000, query_terms_budget: int = 64,
                  min_budget: int = 1 << 17, fetch: str = "auto",
-                 sync_upload: bool = True):
-        self.index = index
+                 sync_upload: bool = True, device_csr=None):
+        """``device_csr=(rows_flat, valbits_flat, offsets, n_docs)`` builds
+        the engine over a flat CSR that ALREADY lives on device (rows i32
+        padded by >= CHUNK with the n_docs sentinel, values bitcast to i32,
+        ``offsets`` a host [V+1] array): production-scale synthetic benches
+        generate the index on device (the host tunnel moves ~0.06-0.5 GB/s —
+        an 8 GB upload takes minutes to hours) and the host never holds the
+        posting arrays. Implies fetch="dma"; ``index`` is ignored."""
         self.topk = topk
         self.T = query_terms_budget
         self.min_budget = min_budget
+        if device_csr is not None:
+            rows_flat, valbits_flat, offsets, n_docs = device_csr
+            self.index = None
+            self.n_docs = int(n_docs)
+            assert rows_flat.shape[0] < 2 ** 31, "nnz exceeds int32"
+            self.fetch = "dma"
+            self.rows_flat = rows_flat
+            self.valbits_flat = valbits_flat
+            self._host_offsets = np.asarray(offsets)
+            self.offsets = jnp.asarray(self._host_offsets.astype(np.int64))
+            self._host_lens = np.diff(self._host_offsets)
+            if sync_upload:
+                self.sync_upload()
+            return
+        self.index = index
         self.n_docs = index.nb_docs()
         # jax default int is 32-bit: flat CSR positions must fit (MSMARCO's
         # 1.13B postings do; shard the corpus over chips beyond ~2.1B)

@@ -150,6 +150,15 @@ class SparseTileBackend:
         return self.engine.retrieve_tile_async(None, self.topk,
                                                sparsified=(qt, qv))
 
+    def advance(self, payload):
+        """Advance a TWO-PASS engine's payload to its second stage (reads
+        pass 1, dispatches pass 2 — BlockMaxSegsortEngine.continue_async),
+        so the broker can overlap pass-2 compute with the next tile's
+        pass 1 instead of serializing it inside drain. Idempotent; no-op
+        for single-pass engines."""
+        fn = getattr(self.engine, "continue_async", None)
+        return fn(payload) if fn is not None else payload
+
     def drain(self, payload, reqs: list) -> list:
         scores, rows = self.engine.finalize(payload)
         return self._to_results(scores, rows, len(reqs))
@@ -462,6 +471,13 @@ class RetrievalServer:
                         continue
                     self.stage_s["dispatch"] += time.perf_counter() - t0
                     pending.append((batch, payload, time.perf_counter()))
+                    # two-pass engines (bmx): advance the PREVIOUS tile to
+                    # its pass-2 dispatch while this tile's pass 1 is in
+                    # flight (idempotent; no-op for single-pass engines)
+                    adv = getattr(self.backend, "advance", None)
+                    if adv is not None and len(pending) >= 2:
+                        b2, p2, t2 = pending[-2]
+                        pending[-2] = (b2, adv(p2), t2)
                     # adaptive depth: with >= a full tile already queued,
                     # dispatching ahead can't starve batch formation
                     depth = (self.max_pipeline_depth
