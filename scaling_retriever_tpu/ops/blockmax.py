@@ -56,9 +56,14 @@ score < tau_hat <= true k-th, so it is in neither top-k. Kept-segment
 docs are fully scored. Hence computed == true.
 
 Reference semantics preserved: threshold-filtered exact top-k scores
-(reference indexer.py:335-341) — results equal the unpruned engine's
-bit-for-bit on every certified path, and the gate guarantees the base
-path otherwise.
+(reference indexer.py:335-341). Results are EXACT (the same top-k set and
+scores as brute force — bench_bmx verifies against an exhaustive oracle),
+but not bit-identical to the unpruned engine: a pruned job table lays
+postings out in different slots, so each doc's f32 contributions sum in a
+different order (scores agree to ~1e-4 relative) and equal-score ties may
+order differently (bench_bmx measured 34.5% of rows identical, the rest
+tie permutations). The gated path dispatches through the base engine and
+IS bit-identical to it.
 """
 
 from __future__ import annotations
@@ -447,11 +452,15 @@ class BlockMaxSegsortEngine(SegsortEngine):
         tau2 = np.where(done, tau1, np.minimum(tau_hat1, tau1))
         tau2_f = np.where(np.isfinite(tau2), tau2, 0.0).astype(np.float32)
         kept2 = keep_entries(ov, tau2_f)
-        self.kept_frac_sum += float(kept2.mean())
         if kept2.mean() > self.gate:
+            # gated tiles fetch EVERYTHING through the base path: count
+            # them at 1.0 so mean_kept_frac reflects actual fetched work,
+            # not the pre-gate keep fraction (ADVICE r3)
+            self.kept_frac_sum += 1.0
             self.n_gated_tiles += 1
             return ("base", super().retrieve_tile_async(
                 None, topk, sparsified=sparsified))
+        self.kept_frac_sum += float(kept2.mean())
         self.n_pass2_tiles += 1
         plan2 = job_table(ov, kept2)
         s2_d, r2_d = self._dispatch_jobs(plan2, sparsified[0].shape[1],

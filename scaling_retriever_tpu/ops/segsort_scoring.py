@@ -389,10 +389,23 @@ class SegsortEngine:
         self.T = query_terms_budget
         self.min_budget = min_budget
         if device_csr is not None:
+            from scaling_retriever_tpu.ops.pallas_fetch import CHUNK
+
             rows_flat, valbits_flat, offsets, n_docs = device_csr
             self.index = None
             self.n_docs = int(n_docs)
             assert rows_flat.shape[0] < 2 ** 31, "nnz exceeds int32"
+            # the DMA fetch reads aligned CHUNK windows: a caller whose
+            # flat arrays are not padded >= CHUNK past the last posting
+            # would get silently WRONG scores near the array end (the
+            # normal path builds this pad itself) — cheap shape checks,
+            # no device reads
+            assert rows_flat.shape[0] == valbits_flat.shape[0], (
+                rows_flat.shape, valbits_flat.shape)
+            assert rows_flat.shape[0] >= int(np.asarray(offsets)[-1]) + CHUNK, (
+                "device_csr rows_flat must be padded >= CHUNK past "
+                "offsets[-1] with the n_docs sentinel (an aligned fetch "
+                "window near the end reads past the last posting)")
             self.fetch = "dma"
             self.rows_flat = rows_flat
             self.valbits_flat = valbits_flat

@@ -201,6 +201,13 @@ class DenseTileBackend:
 _STOP = object()
 
 
+class ServerOverloadedError(RuntimeError):
+    """A lane's bounded queue is full and the caller asked not to wait
+    (``submit(timeout=...)`` elapsed, or the hot lane's in-flight cap is
+    reached). The HTTP facade maps this to 429 so load balancers can shed
+    or retry elsewhere; programmatic clients should back off."""
+
+
 class RetrievalServer:
     """Micro-batching request broker over a tile backend.
 
@@ -214,7 +221,8 @@ class RetrievalServer:
 
     def __init__(self, backend, max_wait_ms: float = 2.0,
                  queue_limit: int = 4096, pipeline_depth: int = 2,
-                 max_pipeline_depth: int = 3):
+                 max_pipeline_depth: int = 3, hot_queue_limit: int = 32,
+                 hot_workers: int = 1):
         self.backend = backend
         self.max_wait = max_wait_ms / 1e3
         # tiles dispatched ahead of the oldest drain under load. Base depth
@@ -239,14 +247,27 @@ class RetrievalServer:
         # its own worker pool so a pathological query never occupies the
         # device worker. One worker by default — each hot query's scatter
         # sweep already saturates a core and transiently allocates
-        # ~8 B x n_docs of accumulator.
+        # ~8 B x n_docs of accumulator. The lane is BOUNDED: hot queries
+        # cost ~365 ms each (PERFORMANCE.md hot-lane measurement), so an
+        # adversarial burst beyond ``hot_queue_limit`` in flight is SHED
+        # with ServerOverloadedError instead of queueing without bound
+        # behind a single core while the client holds its connection.
         self._hot_pool = None
+        self._hot_workers = max(1, hot_workers)
+        self.hot_queue_limit = hot_queue_limit
+        self._hot_inflight = 0
         # stats
         self.n_requests = 0
         self.n_hot = 0
+        self.n_hot_shed = 0
+        self.n_fast_shed = 0
         self.n_batches = 0
         self.batch_sizes: list[int] = []
-        self.latencies_s: list[float] = []
+        # per-lane latency series: mixing them hides a hot burst's effect
+        # on fast-lane p50 (and vice versa) — the flood test pins that the
+        # fast lane holds while hot queries queue
+        self.latencies_s: list[float] = []      # fast lane
+        self.hot_latencies_s: list[float] = []  # host slow lane
         # wall-clock split of the worker loop (stats()["stage_s"]):
         # "wait" = queue idle, "collect" = batch-formation window,
         # "dispatch" = pack + engine dispatch, "drain" = finalize read +
@@ -263,7 +284,7 @@ class RetrievalServer:
         if getattr(self.backend, "hot_lane", None) is not None:
             from concurrent.futures import ThreadPoolExecutor
             self._hot_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="srt-hot")
+                max_workers=self._hot_workers, thread_name_prefix="srt-hot")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
@@ -295,13 +316,21 @@ class RetrievalServer:
 
     # -- client API ----------------------------------------------------
 
-    def submit(self, query, topk: Optional[int] = None) -> Future:
+    def submit(self, query, topk: Optional[int] = None,
+               timeout: Optional[float] = None) -> Future:
         """query: (terms, vals) for sparse backends, a vector for dense.
         topk above the backend's compiled k is rejected (it would force a
         new jit variant mid-traffic); smaller topk is a result slice.
         Raises (not assert — API-contract guards must survive ``-O``) on a
         non-started server and on requests the backend rejects, so only
-        the offending caller errors, never its batch co-riders."""
+        the offending caller errors, never its batch co-riders.
+
+        ``timeout`` bounds how long submit may BLOCK for queue space:
+        None (default) keeps full backpressure (closed-loop benches and
+        in-process callers want it), a number sheds with
+        ServerOverloadedError once the fast queue stays full that long
+        (0 = never block). The hot lane is always bounded — see
+        ``hot_queue_limit``."""
         if not self._started:
             raise RuntimeError("server not started — a submit would hang")
         k = self.backend.topk
@@ -311,14 +340,34 @@ class RetrievalServer:
         lane = route(query) if route is not None else "fast"
         # raises on over-budget requests with no slow lane configured
         fut: Future = Future()
+        if lane == "hot":
+            with self._lock:
+                if self._hot_inflight >= self.hot_queue_limit:
+                    self.n_hot_shed += 1
+                    raise ServerOverloadedError(
+                        f"hot lane at capacity ({self._hot_inflight} "
+                        f"queries in flight, limit {self.hot_queue_limit}, "
+                        f"~365 ms each at MSMARCO scale) — retry later or "
+                        f"raise hot_queue_limit/hot_workers")
+                self._hot_inflight += 1
+                self.n_requests += 1
+                self.n_hot += 1
+            self._submit_hot(query, topk or k, fut)
+            return fut
+        item = (query, topk or k, fut, time.perf_counter())
+        try:
+            if timeout is None:
+                self._q.put(item)
+            else:
+                self._q.put(item, block=timeout > 0, timeout=timeout or None)
+        except queue.Full:
+            with self._lock:
+                self.n_fast_shed += 1
+            raise ServerOverloadedError(
+                f"request queue full ({self._q.maxsize}) and did not drain "
+                f"within {timeout}s") from None
         with self._lock:
             self.n_requests += 1
-            if lane == "hot":
-                self.n_hot += 1
-        if lane == "hot":
-            self._submit_hot(query, topk or k, fut)
-        else:
-            self._q.put((query, topk or k, fut, time.perf_counter()))
         return fut
 
     def _submit_hot(self, query, topk: int, fut: Future) -> None:
@@ -330,8 +379,11 @@ class RetrievalServer:
             except Exception as e:
                 fut.set_exception(e)
                 return
+            finally:
+                with self._lock:
+                    self._hot_inflight -= 1
             with self._lock:
-                self.latencies_s.append(time.perf_counter() - t_sub)
+                self.hot_latencies_s.append(time.perf_counter() - t_sub)
             fut.set_result(res)
 
         self._hot_pool.submit(run)
@@ -379,19 +431,31 @@ class RetrievalServer:
     def stats(self) -> dict:
         with self._lock:
             lat = np.asarray(self.latencies_s, np.float64)
+            hot_lat = np.asarray(self.hot_latencies_s, np.float64)
             sizes = self.batch_sizes[:]
+            hot_inflight = self._hot_inflight
         out = {"n_requests": self.n_requests, "n_batches": self.n_batches,
-               "n_hot": self.n_hot,
+               "n_hot": self.n_hot, "n_hot_shed": self.n_hot_shed,
+               "n_fast_shed": self.n_fast_shed,
+               "hot_inflight": hot_inflight,
                "mean_batch": round(float(np.mean(sizes)), 2) if sizes else 0.0,
                "t_budget": self.backend.t_budget,
                "widenings": getattr(self.backend, "widenings", 0),
                "stage_s": {k: round(v, 3) for k, v in self.stage_s.items()}}
+        # latency_* is the FAST lane (device tiles); the hot lane reports
+        # separately — a 365 ms hot query must not move the fast p50
         if lat.size:
             out.update({
                 "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
                 "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
                 "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
                 "latency_max_ms": round(float(lat.max()) * 1e3, 2),
+            })
+        if hot_lat.size:
+            out.update({
+                "hot_latency_p50_ms": round(
+                    float(np.percentile(hot_lat, 50)) * 1e3, 2),
+                "hot_latency_max_ms": round(float(hot_lat.max()) * 1e3, 2),
             })
         return out
 
@@ -473,11 +537,21 @@ class RetrievalServer:
                     pending.append((batch, payload, time.perf_counter()))
                     # two-pass engines (bmx): advance the PREVIOUS tile to
                     # its pass-2 dispatch while this tile's pass 1 is in
-                    # flight (idempotent; no-op for single-pass engines)
+                    # flight (idempotent; no-op for single-pass engines).
+                    # Guarded like dispatch/drain: advance runs host pruning
+                    # + a device dispatch, and an exception here must fail
+                    # ITS batch, not kill the worker (a dead worker wedges
+                    # every future request while /healthz reports ok)
                     adv = getattr(self.backend, "advance", None)
                     if adv is not None and len(pending) >= 2:
                         b2, p2, t2 = pending[-2]
-                        pending[-2] = (b2, adv(p2), t2)
+                        try:
+                            pending[-2] = (b2, adv(p2), t2)
+                        except Exception as e:
+                            for _, _, fut, _ in b2:
+                                if not fut.done():
+                                    fut.set_exception(e)
+                            del pending[-2]
                     # adaptive depth: with >= a full tile already queued,
                     # dispatching ahead can't starve batch formation
                     depth = (self.max_pipeline_depth
@@ -497,7 +571,8 @@ class RetrievalServer:
 
 
 def serve_http(server: RetrievalServer, host: str = "127.0.0.1",
-               port: int = 8080, block: bool = True, frontend=None):
+               port: int = 8080, block: bool = True, frontend=None,
+               submit_timeout_s: Optional[float] = 5.0):
     """JSON-over-HTTP facade. POST /search body:
     ``{"queries": [{"id": "q1", "terms": [...], "vals": [...]}, ...],
        "topk": 10}``
@@ -505,7 +580,11 @@ def serve_http(server: RetrievalServer, host: str = "127.0.0.1",
     ``frontend`` — a started QueryEncoderFrontend — raw-text queries
     ``{"id": ..., "text": "..."}`` are encoded on-chip first) →
     ``{"results": {"q1": {"d3": 12.5, ...}}}`` — the reference's run.json
-    entry shape. GET /stats and GET /healthz for ops."""
+    entry shape. GET /stats and GET /healthz for ops.
+
+    ``submit_timeout_s`` bounds how long a request may wait for fast-queue
+    space before the facade sheds it as HTTP 429 (hot-lane capacity sheds
+    429 immediately); None restores unbounded backpressure."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -549,16 +628,25 @@ def serve_http(server: RetrievalServer, host: str = "127.0.0.1",
                         fut = frontend.submit_text(q["text"], topk)
                     elif "vector" in q:
                         fut = server.submit(
-                            np.asarray(q["vector"], np.float32), topk)
+                            np.asarray(q["vector"], np.float32), topk,
+                            timeout=submit_timeout_s)
                     else:
                         fut = server.submit(
                             (np.asarray(q["terms"], np.int32),
-                             np.asarray(q["vals"], np.float32)), topk)
+                             np.asarray(q["vals"], np.float32)), topk,
+                            timeout=submit_timeout_s)
                     futs.append((str(q.get("id", len(futs))), fut))
-                results = {qid: dict(zip(map(str, f.result()[0]),
-                                         f.result()[1]))
-                           for qid, f in futs}
+                results = {}
+                for qid, f in futs:
+                    ids, scores = f.result()   # resolve each future ONCE
+                    results[qid] = dict(zip(map(str, ids), scores))
                 self._send(200, {"results": results})
+            except ServerOverloadedError as e:
+                # the shed path: L7 balancers retry/shed on 429 — a
+                # blocked-forever submit would instead hold the connection
+                # and hide the overload from the balancer
+                self._send(429, {"error": f"overloaded: {e}",
+                                 "retry_after_s": 1})
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
