@@ -178,11 +178,28 @@ class Trainer:
             self.param_shardings = fsdp_shardings(encoder.params, self.mesh)
         else:
             self.param_shardings = replicated_shardings(encoder.params, self.mesh)
-        self.params = apply_shardings(encoder.params, self.param_shardings)
+        # abstract mode: params made of ShapeDtypeStructs (jax.eval_shape)
+        # enable AOT lowering/compile of the exact production step without
+        # materializing a single weight — the 3B/8B shard proof
+        # (scripts/shard_proof.py) compiles the full-width FSDP step this
+        # way and reads per-device HBM from compiled.memory_analysis()
+        self.abstract = any(
+            isinstance(x, jax.ShapeDtypeStruct)
+            for x in jax.tree_util.tree_leaves(encoder.params))
+
+        def _place(tree, shardings):
+            if self.abstract:
+                return jax.tree_util.tree_map(
+                    lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                      sharding=s),
+                    tree, shardings)
+            return apply_shardings(tree, shardings)
+
+        self.params = _place(encoder.params, self.param_shardings)
         trainable = encoder.lora if self.use_lora else self.params
         self.trainable_shardings = (replicated_shardings(trainable, self.mesh)
                                     if self.use_lora else self.param_shardings)
-        self.trainable = apply_shardings(trainable, self.trainable_shardings)
+        self.trainable = _place(trainable, self.trainable_shardings)
         if not self.use_lora:
             # non-LoRA: the full tree IS the trainable. device_put with an
             # identical sharding returns the SAME buffers, so self.params
@@ -192,7 +209,8 @@ class Trainer:
             # same call to Execute()". An empty tree makes misuse loud
             # (KeyError at trace time) instead of donation-dependent.
             self.params = {}
-        self.opt_state = self.tx.init(self.trainable)
+        self.opt_state = (jax.eval_shape(self.tx.init, self.trainable)
+                          if self.abstract else self.tx.init(self.trainable))
 
         # the frozen base params enter the step as a jit ARGUMENT: closing
         # over them embeds the full multi-GB tree as constants in the
