@@ -35,13 +35,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from bench_serving import _DeviceCSREngine  # noqa: E402
 from scaling_retriever_tpu.ops.pallas_fetch import CHUNK  # noqa: E402
+from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine  # noqa: E402
 from scaling_retriever_tpu.serving.server import (  # noqa: E402
     RetrievalServer, SparseTileBackend,
 )
 from scaling_retriever_tpu.serving.text_frontend import (  # noqa: E402
-    QueryEncoderFrontend, make_encode_fn, make_hf_tokenize_fn,
+    QueryEncoderFrontend, make_encode_fn, make_encode_fn_handoff,
+    make_hf_tokenize_fn,
 )
 
 N_DOCS = 8_841_823
@@ -56,6 +57,10 @@ SECONDS = 8.0
 CONCURRENCY = tuple(int(c) for c in os.environ.get(
     "SRT_BENCH_CONC", "1,64,128,256").split(","))
 PAD_READ_KB = int(os.environ.get("SRT_ENCODE_PAD_KB", "512"))
+# device encode->retrieve handoff (VERDICT r3 #2): the sparsified reps stay
+# on device and feed the retrieval program directly; "0" measures the old
+# packed-read + per-query-submit path for A/B
+HANDOFF = os.environ.get("SRT_TEXT_HANDOFF", "1") == "1"
 
 
 def log(m):
@@ -124,7 +129,11 @@ def main() -> None:
     model = LlamaBiSparse(params, config)
     log(f"1B encoder on device in {time.perf_counter()-t0:.0f}s")
 
-    engine = _DeviceCSREngine(rows_flat, valbits_flat, offsets, per_term)
+    host_offsets = np.arange(VOCAB + 1, dtype=np.int64) * per_term
+    engine = SegsortEngine(None, topk=TOPK, query_terms_budget=T_SPARSE,
+                           device_csr=(rows_flat, valbits_flat,
+                                       host_offsets, N_DOCS),
+                           sync_upload=False)
     backend = SparseTileBackend(engine, None, N_DOCS, widths=(8, WIDTH),
                                 t_budget=T_SPARSE, topk=TOPK)
     server = RetrievalServer(backend, max_wait_ms=2.0, pipeline_depth=2)
@@ -132,8 +141,9 @@ def main() -> None:
     tokenizer = make_128k_tokenizer()
     tokenize_fn = make_hf_tokenize_fn(tokenizer, max_length=64,
                                       lengths=LENGTH_RUNGS)
-    encode_fn = make_encode_fn(model, T_SPARSE,
-                               pad_read_bytes=PAD_READ_KB * 1024)
+    encode_fn = (make_encode_fn_handoff(model, T_SPARSE) if HANDOFF
+                 else make_encode_fn(model, T_SPARSE,
+                                     pad_read_bytes=PAD_READ_KB * 1024))
     frontend = QueryEncoderFrontend(server, encode_fn, tokenize_fn,
                                     widths=(8, WIDTH), t_sparse=T_SPARSE,
                                     max_wait_ms=2.0)

@@ -712,6 +712,11 @@ def main(argv=None) -> None:
     ap.add_argument("--warmup_texts", default=None,
                     help="text file (one query per line) to pre-compile "
                          "and warm the encoder width rungs")
+    ap.add_argument("--handoff", choices=("auto", "off"), default="auto",
+                    help="device encode->retrieve handoff for text "
+                         "queries: sparsified reps stay on device and feed "
+                         "the retrieval program directly (needs the DMA "
+                         "engine; 'auto' enables it when available)")
     args = ap.parse_args(argv)
 
     if (args.index_dir is None) == (args.dense_index_dir is None):
@@ -753,7 +758,7 @@ def main(argv=None) -> None:
                      "backend (--index_dir)")
         from scaling_retriever_tpu.serving.text_frontend import (
             QueryEncoderFrontend, load_sparse_encoder, make_encode_fn,
-            make_hf_tokenize_fn)
+            make_encode_fn_handoff, make_hf_tokenize_fn)
 
         model, tokenizer = load_sparse_encoder(args.model_name_or_path,
                                                args.lora_name_or_path)
@@ -766,8 +771,12 @@ def main(argv=None) -> None:
                 r *= 2
         else:
             rungs = [int(x) for x in args.query_length_rungs.split(",")]
+        use_handoff = (args.handoff == "auto"
+                       and getattr(engine, "fetch", None) == "dma")
+        encode_fn = (make_encode_fn_handoff(model, args.t_sparse)
+                     if use_handoff else make_encode_fn(model, args.t_sparse))
         frontend = QueryEncoderFrontend(
-            server, make_encode_fn(model, args.t_sparse),
+            server, encode_fn,
             make_hf_tokenize_fn(tokenizer, args.query_max_length,
                                 lengths=rungs),
             widths=[int(w) for w in args.encode_widths.split(",")],
