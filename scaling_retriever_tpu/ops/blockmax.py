@@ -257,28 +257,47 @@ def keep_entries(ov: dict, tau: np.ndarray) -> np.ndarray:
     return kept_sub.reshape(-1, ov["R"]).any(axis=1)
 
 
-def job_table(ov: dict, kept: np.ndarray) -> dict:
-    """Padded [nq, J] job arrays for ``blockmax_retrieve_dma`` from the
-    kept entries (J on the {2^k, 1.5*2^k} bucket grid)."""
-    nq = ov["nq"]
-    kq = ov["e_q"][kept]
+NQ_RUNGS = (4, 8, 16, 32, 64)
+
+
+def _rung(n: int) -> int:
+    for r in NQ_RUNGS:
+        if n <= r:
+            return r
+    return -(-n // NQ_RUNGS[-1]) * NQ_RUNGS[-1]
+
+
+def job_table(ov: dict, kept: np.ndarray,
+              q_rows: Optional[np.ndarray] = None) -> dict:
+    """Job table for ``blockmax_retrieve_dma`` from the kept entries, PACKED
+    into one [4, nq, J] i32 upload (src / lo / hi / qw-bits planes — four
+    separate small host->device transfers measured as the RPC-floor trap
+    this repo documents for reads; J on the {2^k, 1.5*2^k} bucket grid).
+
+    ``q_rows`` (optional) maps original query index -> compact output row
+    (-1 = excluded): pass 2 dispatches ONLY the uncertified queries, padded
+    to the next NQ_RUNGS rung so the jit cache stays bounded. Entries of
+    excluded queries must already be dropped from ``kept``."""
+    if q_rows is None:
+        nq = ov["nq"]
+        kq = ov["e_q"][kept]
+    else:
+        nq = _rung(int((q_rows >= 0).sum()))
+        kq = q_rows[ov["e_q"][kept]]
+        assert (kq >= 0).all(), "kept entry of an excluded query"
     cnt = np.bincount(kq, minlength=nq)
     J = bucket_jobs(int(cnt.max(initial=1)))
     slot_base = np.zeros(nq + 1, np.int64)
     np.cumsum(cnt, out=slot_base[1:])
     slot = np.arange(len(kq)) - slot_base[kq]
-    src_p = np.zeros((nq, J), np.int32)
-    lo_p = np.zeros((nq, J), np.int32)
-    hi_p = np.zeros((nq, J), np.int32)
-    qw_p = np.zeros((nq, J), np.float32)
-    src_p[kq, slot] = ov["src"][kept].astype(np.int32)
-    lo_p[kq, slot] = ov["lo_loc"][kept]
-    hi_p[kq, slot] = ov["hi_loc"][kept]
-    qw_p[kq, slot] = ov["e_w"][kept]
-    return {"src": src_p, "lo": lo_p, "hi": hi_p, "qw": qw_p,
-            "jobs_per_query": J,
+    packed = np.zeros((4, nq, J), np.int32)
+    packed[0, kq, slot] = ov["src"][kept].astype(np.int32)
+    packed[1, kq, slot] = ov["lo_loc"][kept]
+    packed[2, kq, slot] = ov["hi_loc"][kept]
+    packed[3, kq, slot] = ov["e_w"][kept].astype(np.float32).view(np.int32)
+    return {"packed": packed, "jobs_per_query": J,
             "dropped_any": np.bincount(ov["e_q"][~kept],
-                                       minlength=nq) > 0}
+                                       minlength=ov["nq"]) > 0}
 
 
 # ---------------------------------------------------------------------------
@@ -289,23 +308,24 @@ def job_table(ov: dict, kept: np.ndarray) -> dict:
                                              "n_docs", "max_run",
                                              "interpret"))
 def blockmax_retrieve_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
-                          src: jax.Array, lo: jax.Array, hi: jax.Array,
-                          qw: jax.Array, k: int, jobs_per_query: int,
+                          packed: jax.Array, k: int, jobs_per_query: int,
                           n_docs: int, max_run: int,
-                          interpret: bool = False
-                          ) -> tuple[jax.Array, jax.Array]:
+                          interpret: bool = False) -> jax.Array:
     """Same DMA fetch kernel as fetch_postings_dma, but the job table
-    (src [nq, J] ALIGN-aligned flat sources; lo/hi [nq, J] window-local
-    valid bounds; qw [nq, J] query weights) arrives as ARGUMENTS from the
-    host pruner instead of being derived on device — pruned job sets are
-    non-contiguous within a term's list, which the on-device builder
-    cannot express."""
+    (``packed`` [4, nq, J] i32: ALIGN-aligned flat sources / window-local
+    valid lo / hi bounds / query-weight bits) arrives as ONE argument from
+    the host pruner instead of being derived on device — pruned job sets
+    are non-contiguous within a term's list, which the on-device builder
+    cannot express, and a single packed upload pays one transfer instead
+    of four (the small-transfer RPC floor, see CLAUDE.md)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from scaling_retriever_tpu.ops.pallas_fetch import _fetch_kernel
     from scaling_retriever_tpu.ops.segsort_scoring import _rank_tail
 
+    src, lo, hi = packed[0], packed[1], packed[2]
+    qw = jax.lax.bitcast_convert_type(packed[3], jnp.float32)
     nq, J = src.shape
     nnz = rows_flat.shape[0]
     p_pad = J * CHUNK
@@ -343,7 +363,12 @@ def blockmax_retrieve_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
     top_scores, top_rows = _rank_tail(
         rows, contrib, sentinel, k, max_run,
         topm="pallas_interpret" if interpret else "pallas")
-    return top_scores, top_rows
+    # one packed [nq, 2k] i32 result buffer: score bits | rows. The host
+    # reads it in ONE transfer per pass (two separate 256 KB reads per
+    # pass measured as the small-transfer RPC-floor trap — CLAUDE.md)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(top_scores, jnp.int32), top_rows],
+        axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -383,42 +408,57 @@ class BlockMaxSegsortEngine(SegsortEngine):
         self.cover = cover
         self.gate = gate
         self.n_gated_tiles = 0        # pass 1 or 2 exceeded the gate
-        self.n_pass1_final = 0        # pass 1 certified itself
+        self.n_pass1_final = 0        # pass 1 certified itself (whole tile)
         self.n_pass2_tiles = 0
         self.kept_frac_sum = 0.0      # pass-2 (or final) kept fraction
+        self.kept1_frac_sum = 0.0     # pass-1 kept fraction
         self.n_pruned_tiles = 0
+        self.n_q_total = 0            # per-query certification accounting
+        self.n_q_certified = 0        # done after pass 1
+        self.n_q_pass2 = 0            # re-dispatched in a compacted pass 2
+        self.host_ms = {"overlay": 0.0, "tau": 0.0, "keep": 0.0,
+                        "job_table": 0.0}
 
     # -- protocol --------------------------------------------------------
 
     def _dispatch_jobs(self, plan: dict, T: int, k: int):
         interpret = jax.default_backend() == "cpu"
         return blockmax_retrieve_dma(
-            self.rows_flat, self.valbits_flat,
-            jnp.asarray(plan["src"]), jnp.asarray(plan["lo"]),
-            jnp.asarray(plan["hi"]), jnp.asarray(plan["qw"]),
+            self.rows_flat, self.valbits_flat, jnp.asarray(plan["packed"]),
             k=k, jobs_per_query=plan["jobs_per_query"],
             n_docs=self.n_docs, max_run=T, interpret=interpret)
 
     def retrieve_tile_async(self, q_dense, topk=None, sparsified=None):
+        import time as _time
+
         topk = topk or self.topk
         q_terms, q_vals = (sparsified if sparsified is not None
                            else self.sparsify_queries(q_dense))
         k = min(topk, self.n_docs)
+        t0 = _time.perf_counter()
         ov = build_overlay(self.meta, self._host_offsets.astype(np.int64),
                            q_terms, q_vals, self.n_docs)
+        self.host_ms["overlay"] += (_time.perf_counter() - t0) * 1e3
         if ov is None:
             return ("base", super().retrieve_tile_async(
                 None, topk, sparsified=(q_terms, q_vals)))
+        t0 = _time.perf_counter()
         tau1 = cover_tau(ov, max(1.0, self.cover * k))
+        self.host_ms["tau"] += (_time.perf_counter() - t0) * 1e3
+        t0 = _time.perf_counter()
         kept1 = keep_entries(ov, tau1)
+        self.host_ms["keep"] += (_time.perf_counter() - t0) * 1e3
         if kept1.mean() > self.gate:
             self.n_gated_tiles += 1
             return ("base", super().retrieve_tile_async(
                 None, topk, sparsified=(q_terms, q_vals)))
+        self.kept1_frac_sum += float(kept1.mean())
+        t0 = _time.perf_counter()
         plan1 = job_table(ov, kept1)
-        s1, r1 = self._dispatch_jobs(plan1, q_terms.shape[1], k)
+        self.host_ms["job_table"] += (_time.perf_counter() - t0) * 1e3
+        p1 = self._dispatch_jobs(plan1, q_terms.shape[1], k)
         # pass 2 is built in finalize — it needs pass 1's k-th scores
-        return ("bmx", s1, r1, tau1, plan1["dropped_any"], ov,
+        return ("bmx", p1, tau1, plan1["dropped_any"], ov,
                 (q_terms, q_vals), topk)
 
     def continue_async(self, payload):
@@ -433,26 +473,37 @@ class BlockMaxSegsortEngine(SegsortEngine):
         already-advanced payloads."""
         if payload[0] != "bmx":
             return payload
-        _, s1_d, r1_d, tau1, dropped1, ov, sparsified, topk = payload
-        s1 = np.asarray(s1_d, np.float32)
-        r1 = np.asarray(r1_d)
-        k = s1.shape[1]
+        import time as _time
+
+        _, p1_d, tau1, dropped1, ov, sparsified, topk = payload
+        buf1 = np.asarray(p1_d)          # one packed read: score bits | rows
+        k = buf1.shape[1] // 2
+        s1 = buf1[:, :k].copy().view(np.float32)
+        r1 = buf1[:, k:]
         tau_hat1 = s1[:, k - 1]
         # pass 1 exhaustive above tau1: every dropped segment's UB < tau1
         # <= tau_hat1 means nothing dropped can reach the top-k
         done = (~dropped1) | (tau_hat1 >= tau1)
         self.n_pruned_tiles += 1
+        self.n_q_total += len(done)
+        self.n_q_certified += int(done.sum())
         if done.all():
             self.n_pass1_final += 1
-            self.kept_frac_sum += 1.0
             return ("p1done", s1, r1)
-        # pass 2: keep everything with UB >= tau_hat1 (superset of pass 1
-        # wherever tau_hat1 <= tau1; exact by construction — see module
-        # docstring). -inf k-th (under-filled pass 1) keeps everything.
-        tau2 = np.where(done, tau1, np.minimum(tau_hat1, tau1))
-        tau2_f = np.where(np.isfinite(tau2), tau2, 0.0).astype(np.float32)
+        # pass 2: ONLY the uncertified queries (compacted to an NQ_RUNGS
+        # row count — certified rows keep their pass-1 results and pay
+        # nothing more), keeping everything with UB >= tau_hat1 (superset
+        # of their pass-1 kept set; exact by construction — see module
+        # docstring). -inf k-th (under-filled pass 1) keeps everything;
+        # +inf for certified queries keeps nothing of theirs.
+        tau2 = np.minimum(tau_hat1, tau1)
+        tau2 = np.where(np.isfinite(tau2), tau2, 0.0)
+        tau2_f = np.where(done, np.inf, tau2).astype(np.float32)
+        t0 = _time.perf_counter()
         kept2 = keep_entries(ov, tau2_f)
-        if kept2.mean() > self.gate:
+        self.host_ms["keep"] += (_time.perf_counter() - t0) * 1e3
+        notdone_entries = int((~done)[ov["e_q"]].sum())
+        if kept2.sum() > self.gate * max(notdone_entries, 1):
             # gated tiles fetch EVERYTHING through the base path: count
             # them at 1.0 so mean_kept_frac reflects actual fetched work,
             # not the pre-gate keep fraction (ADVICE r3)
@@ -460,12 +511,20 @@ class BlockMaxSegsortEngine(SegsortEngine):
             self.n_gated_tiles += 1
             return ("base", super().retrieve_tile_async(
                 None, topk, sparsified=sparsified))
+        # fetched-work fraction of the FULL tile's windows (certified
+        # queries fetch nothing in pass 2)
         self.kept_frac_sum += float(kept2.mean())
         self.n_pass2_tiles += 1
-        plan2 = job_table(ov, kept2)
-        s2_d, r2_d = self._dispatch_jobs(plan2, sparsified[0].shape[1],
-                                         min(topk, self.n_docs))
-        return ("p2", s2_d, r2_d, done, s1, r1)
+        self.n_q_pass2 += int((~done).sum())
+        nd_idx = np.flatnonzero(~done)
+        q_rows = np.full(len(done), -1, np.int64)
+        q_rows[nd_idx] = np.arange(len(nd_idx))
+        t0 = _time.perf_counter()
+        plan2 = job_table(ov, kept2, q_rows=q_rows)
+        self.host_ms["job_table"] += (_time.perf_counter() - t0) * 1e3
+        p2 = self._dispatch_jobs(plan2, sparsified[0].shape[1],
+                                 min(topk, self.n_docs))
+        return ("p2", p2, s1, r1, nd_idx)
 
     def finalize(self, payload):
         payload = self.continue_async(payload)
@@ -473,19 +532,29 @@ class BlockMaxSegsortEngine(SegsortEngine):
             return super().finalize(payload[1])
         if payload[0] == "p1done":
             return payload[1], payload[2]
-        _, s2_d, r2_d, done, s1, r1 = payload
-        s2 = np.asarray(s2_d, np.float32).copy()
-        r2 = np.asarray(r2_d).copy()
-        # rows certified final in pass 1 keep their pass-1 results (equal
-        # anyway where both certified; this guards tau2 > tau1 rows)
-        s2[done] = s1[done]
-        r2[done] = r1[done]
-        return s2, r2
+        _, p2_d, s1, r1, nd_idx = payload
+        # one packed read; strip rung padding, scatter compact rows back
+        buf2 = np.asarray(p2_d)
+        k = buf2.shape[1] // 2
+        s2c = buf2[:len(nd_idx), :k].copy().view(np.float32)
+        r2c = buf2[:len(nd_idx), k:]
+        s_out = s1.copy()
+        r_out = r1.copy()
+        s_out[nd_idx] = s2c
+        r_out[nd_idx] = r2c
+        return s_out, r_out
 
     def stats(self) -> dict:
         return {"pruned_tiles": self.n_pruned_tiles,
                 "gated_tiles": self.n_gated_tiles,
                 "pass1_final_tiles": self.n_pass1_final,
                 "pass2_tiles": self.n_pass2_tiles,
+                "n_q_total": self.n_q_total,
+                "n_q_certified": self.n_q_certified,
+                "n_q_pass2": self.n_q_pass2,
+                "mean_kept1_frac": round(
+                    self.kept1_frac_sum / max(1, self.n_pruned_tiles), 4),
                 "mean_kept_frac": round(
-                    self.kept_frac_sum / max(1, self.n_pruned_tiles), 4)}
+                    self.kept_frac_sum / max(1, self.n_pruned_tiles), 4),
+                "host_ms": {k_: round(v, 1)
+                            for k_, v in self.host_ms.items()}}
