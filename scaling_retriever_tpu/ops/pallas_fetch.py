@@ -34,6 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 1024    # postings per DMA job (tile-aligned int32 run)
 ALIGN = 1024    # source alignment in postings (int32 1-D tiling)
 PIPELINE = 8    # outstanding DMA jobs (power of two; semaphore ring depth)
+# bf16-packed value layout (VERDICT r3 #5 capacity play): two bf16 values
+# ride one i32 slot, so a job covers CHUNK2 postings with a CHUNK2-i32 row
+# window and a CHUNK2/2-i32 value window — value sources stay 1024-i32
+# aligned because posting sources are CHUNK2(=2048)-aligned. 6 B/posting
+# instead of 8.
+CHUNK2 = 2048
 
 
 def _fetch_kernel(src_ref, rows_hbm, vals_hbm, rows_out, vals_out, sem):
@@ -76,8 +82,52 @@ def _fetch_kernel(src_ref, rows_hbm, vals_hbm, rows_out, vals_out, sem):
         n2.start()
 
 
+def _fetch_kernel_bf16(src_ref, rows_hbm, valsp_hbm, rows_out, vals_out,
+                       sem):
+    """bf16-packed-value twin of ``_fetch_kernel``: job j streams CHUNK2
+    row i32s from ``src`` and CHUNK2//2 packed-value i32s from ``src//2``
+    (provably 1024-aligned since src is CHUNK2-aligned). Same
+    depth-PIPELINE software pipeline."""
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    H = CHUNK2 // 2
+
+    def dmas(job):
+        src = pl.multiple_of(src_ref[job], CHUNK2)
+        dst = pl.multiple_of(job * CHUNK2, CHUNK2)
+        vsrc = pl.multiple_of(src_ref[job] // 2, H)
+        vdst = pl.multiple_of(job * H, H)
+        slot = job & (PIPELINE - 1)
+        return (pltpu.make_async_copy(rows_hbm.at[pl.ds(src, CHUNK2)],
+                                      rows_out.at[pl.ds(dst, CHUNK2)],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(valsp_hbm.at[pl.ds(vsrc, H)],
+                                      vals_out.at[pl.ds(vdst, H)],
+                                      sem.at[slot, 1]))
+
+    @pl.when(j == 0)
+    def _():
+        def start_job(i, carry):
+            d1, d2 = dmas(i)
+            d1.start()
+            d2.start()
+            return carry
+        jax.lax.fori_loop(0, min(PIPELINE, nj), start_job, 0)
+
+    d1, d2 = dmas(j)
+    d1.wait()
+    d2.wait()
+
+    @pl.when(j + PIPELINE < nj)
+    def _():
+        n1, n2 = dmas(j + PIPELINE)
+        n1.start()
+        n2.start()
+
+
 def _job_table(src_al, prev_jobs, cum_jobs, region_start, region_end,
-               q_vals, jobs_per_query: int, use_scan: bool):
+               q_vals, jobs_per_query: int, use_scan: bool,
+               chunk: int = CHUNK):
     """(src_j, jv_start, jv_end, j_qv), each [nq, J]: per-job source
     address, validity bounds, and query weight. Both implementations are
     equivalent; the broadcast form materializes [nq, T, J] (one fused
@@ -95,7 +145,7 @@ def _job_table(src_al, prev_jobs, cum_jobs, region_start, region_end,
             return (wi * per_term[:, :, None]).sum(axis=1)
 
         src_j = (wi * (src_al[:, :, None]
-                       + (slot[None, None, :] - prev_jobs[:, :, None]) * CHUNK)
+                       + (slot[None, None, :] - prev_jobs[:, :, None]) * chunk)
                  ).sum(axis=1)
         return src_j, pick_i(region_start), pick_i(region_end), \
             (within.astype(jnp.float32) * q_vals[:, :, None]).sum(axis=1)
@@ -106,7 +156,7 @@ def _job_table(src_al, prev_jobs, cum_jobs, region_start, region_end,
         within = ((slot[None] >= pj[:, None])
                   & (slot[None] < cj[:, None]))                      # [nq, J]
         src_c = jnp.where(within,
-                          sa[:, None] + (slot[None] - pj[:, None]) * CHUNK,
+                          sa[:, None] + (slot[None] - pj[:, None]) * chunk,
                           src_c)
         jvs_c = jnp.where(within, rs[:, None], jvs_c)
         jve_c = jnp.where(within, re[:, None], jve_c)
@@ -195,5 +245,80 @@ def fetch_postings_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
              ).reshape(nq, p_pad)
     qw = jnp.broadcast_to(j_qv[:, :, None],
                           (nq, jobs_per_query, CHUNK)).reshape(nq, p_pad)
+    qw = jnp.where(valid, qw, 0.0)
+    return rows, vals, qw, valid
+
+
+@functools.partial(jax.jit, static_argnames=("jobs_per_query", "interpret"))
+def fetch_postings_dma_bf16(rows_flat: jax.Array, valpacked_flat: jax.Array,
+                            q_terms: jax.Array, offsets: jax.Array,
+                            q_vals: jax.Array, jobs_per_query: int,
+                            interpret: bool = False
+                            ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                       jax.Array]:
+    """bf16-packed-value twin of ``fetch_postings_dma`` (6 B/posting index:
+    rows i32 + two bf16 values per i32 slot — VERDICT r3 #5). Jobs cover
+    CHUNK2 postings; sources are CHUNK2-aligned so the value DMA's
+    ``src // 2`` stays 1024-i32-aligned. ``valpacked_flat`` [ceil(nnz/2)+pad]
+    i32 holds values little-endian (value 2i in the low half). Returns
+    (rows, vals, qw, valid) each [nq, jobs_per_query * CHUNK2] with vals
+    already widened to f32."""
+    nq, T = q_terms.shape
+    nnz = rows_flat.shape[0]
+    p_pad = jobs_per_query * CHUNK2
+
+    lens = ((offsets[q_terms + 1] - offsets[q_terms])
+            * (q_vals > 0)).astype(jnp.int32)                        # [nq, T]
+    starts = offsets[q_terms].astype(jnp.int32)
+    src_al = (starts // CHUNK2) * CHUNK2
+    head = starts - src_al                                           # [0, CHUNK2)
+    n_jobs = jnp.where(lens > 0, -(-(head + lens) // CHUNK2), 0)
+    cum_jobs = jnp.cumsum(n_jobs, axis=1)
+    prev_jobs = jnp.concatenate(
+        [jnp.zeros((nq, 1), jnp.int32), cum_jobs[:, :-1]], axis=1)
+
+    region_start = prev_jobs * CHUNK2 + head
+    region_end = region_start + lens
+    use_scan = nq * T * jobs_per_query > 32 * 1024 * 1024
+    src_j, jv_start, jv_end, j_qv = _job_table(
+        src_al, prev_jobs, cum_jobs, region_start, region_end, q_vals,
+        jobs_per_query, use_scan, chunk=CHUNK2)
+    max_src = ((nnz - CHUNK2) // CHUNK2) * CHUNK2
+    src_flat = jnp.clip(src_j.reshape(-1), 0, max_src)
+
+    total_jobs = nq * jobs_per_query
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total_jobs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((PIPELINE, 2))],
+    )
+    rows_o, valsp_o = pl.pallas_call(
+        _fetch_kernel_bf16,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((total_jobs * CHUNK2,), jnp.int32),
+                   jax.ShapeDtypeStruct((total_jobs * CHUNK2 // 2,),
+                                        jnp.int32)),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(src_flat, rows_flat, valpacked_flat)
+    rows = rows_o.reshape(nq, p_pad)
+    # unpack: i32 -> [.., 2] bf16 (little-endian: value 2i in element 0,
+    # pinned by test_pallas_fetch_bf16 against a numpy reference)
+    vals = jax.lax.bitcast_convert_type(
+        valsp_o.reshape(nq, p_pad // 2), jnp.bfloat16
+    ).reshape(nq, p_pad).astype(jnp.float32)
+
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (jobs_per_query, CHUNK2), 0)
+           * CHUNK2
+           + jax.lax.broadcasted_iota(jnp.int32, (jobs_per_query, CHUNK2), 1)
+           )[None]                                                   # [1, J, C]
+    valid = ((pos >= jv_start[:, :, None]) & (pos < jv_end[:, :, None])
+             ).reshape(nq, p_pad)
+    qw = jnp.broadcast_to(j_qv[:, :, None],
+                          (nq, jobs_per_query, CHUNK2)).reshape(nq, p_pad)
     qw = jnp.where(valid, qw, 0.0)
     return rows, vals, qw, valid

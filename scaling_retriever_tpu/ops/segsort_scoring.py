@@ -368,6 +368,51 @@ def segsort_retrieve_dma(rows_flat: jax.Array, valbits_flat: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("k", "jobs_per_query", "n_docs",
                                              "interpret"))
+def segsort_retrieve_dma_bf16(rows_flat: jax.Array, valpacked_flat: jax.Array,
+                              offsets: jax.Array,
+                              q_terms: jax.Array, q_vals: jax.Array,
+                              k: int, jobs_per_query: int, n_docs: int,
+                              interpret: bool = False
+                              ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """segsort over the bf16-PACKED-value index layout (6 B/posting — two
+    bf16 values per i32 slot, CHUNK2-posting jobs; ops/pallas_fetch.py
+    fetch_postings_dma_bf16). Engine-exact over the bf16-quantized index:
+    scores are sums of qw * bf16(val) in f32 — identical to the f32 engine
+    whenever the stored values are bf16-representable."""
+    from scaling_retriever_tpu.ops.pallas_fetch import fetch_postings_dma_bf16
+
+    T = q_terms.shape[1]
+    q_terms, neg_vals = jax.lax.sort(
+        (q_terms, -q_vals), dimension=1, num_keys=1)
+    q_vals = -neg_vals
+    rows, vals, qw, valid = fetch_postings_dma_bf16(
+        rows_flat, valpacked_flat, q_terms, offsets, q_vals, jobs_per_query,
+        interpret=interpret)
+    sentinel = jnp.int32(n_docs)
+    contrib = jnp.where(valid, vals * qw, 0.0)
+    rows = jnp.where(valid, rows, sentinel)
+    total = valid.sum(axis=1)
+    top_scores, top_rows = _rank_tail(
+        rows, contrib, sentinel, k, T,
+        topm="pallas_interpret" if interpret else "pallas")
+    return top_scores, top_rows, total
+
+
+def pack_values_bf16(values: np.ndarray, pad_to: int) -> np.ndarray:
+    """f32 values → little-endian bf16 pairs in i32 slots (round-to-nearest
+    -even via ml_dtypes), padded so ``2 * len(out) >= pad_to``."""
+    import ml_dtypes
+
+    n = max(int(pad_to), len(values) + (len(values) & 1))
+    n += n & 1
+    v16 = np.zeros(n, np.uint16)
+    v16[:len(values)] = np.asarray(values, np.float32).astype(
+        ml_dtypes.bfloat16).view(np.uint16)
+    return v16.view(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "jobs_per_query", "n_docs",
+                                             "interpret"))
 def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
                                 offsets: jax.Array,
                                 q_terms: jax.Array, q_vals: jax.Array,
@@ -429,33 +474,48 @@ class SegsortEngine:
 
     def __init__(self, index, topk: int = 1000, query_terms_budget: int = 64,
                  min_budget: int = 1 << 17, fetch: str = "auto",
-                 sync_upload: bool = True, device_csr=None):
+                 sync_upload: bool = True, device_csr=None,
+                 val_dtype: str = "f32"):
         """``device_csr=(rows_flat, valbits_flat, offsets, n_docs)`` builds
         the engine over a flat CSR that ALREADY lives on device (rows i32
         padded by >= CHUNK with the n_docs sentinel, values bitcast to i32,
         ``offsets`` a host [V+1] array): production-scale synthetic benches
         generate the index on device (the host tunnel moves ~0.06-0.5 GB/s —
         an 8 GB upload takes minutes to hours) and the host never holds the
-        posting arrays. Implies fetch="dma"; ``index`` is ignored."""
+        posting arrays. Implies fetch="dma"; ``index`` is ignored.
+
+        ``val_dtype="bf16"`` stores values as bf16 PAIRS packed in i32
+        slots — 6 B/posting instead of 8 (VERDICT r3 #5 capacity play;
+        CHUNK2-posting DMA jobs). Engine-exact over the bf16-quantized
+        index; requires the DMA fetch. With device_csr, valbits_flat must
+        already be the packed layout (segsort_scoring.pack_values_bf16)."""
         self.topk = topk
         self.T = query_terms_budget
         self.min_budget = min_budget
-        if device_csr is not None:
-            from scaling_retriever_tpu.ops.pallas_fetch import CHUNK
+        assert val_dtype in ("f32", "bf16"), val_dtype
+        self.val_dtype = val_dtype
+        from scaling_retriever_tpu.ops.pallas_fetch import CHUNK, CHUNK2
 
+        # job granularity of the value layout (job_need / bucket sizing)
+        self._chunk = CHUNK2 if val_dtype == "bf16" else CHUNK
+        if device_csr is not None:
             rows_flat, valbits_flat, offsets, n_docs = device_csr
             self.index = None
             self.n_docs = int(n_docs)
             assert rows_flat.shape[0] < 2 ** 31, "nnz exceeds int32"
-            # the DMA fetch reads aligned CHUNK windows: a caller whose
-            # flat arrays are not padded >= CHUNK past the last posting
-            # would get silently WRONG scores near the array end (the
-            # normal path builds this pad itself) — cheap shape checks,
-            # no device reads
-            assert rows_flat.shape[0] == valbits_flat.shape[0], (
-                rows_flat.shape, valbits_flat.shape)
-            assert rows_flat.shape[0] >= int(np.asarray(offsets)[-1]) + CHUNK, (
-                "device_csr rows_flat must be padded >= CHUNK past "
+            # the DMA fetch reads aligned windows: a caller whose flat
+            # arrays are not padded >= chunk past the last posting would
+            # get silently WRONG scores near the array end (the normal
+            # path builds this pad itself) — cheap shape checks, no
+            # device reads
+            if val_dtype == "bf16":
+                assert 2 * valbits_flat.shape[0] >= rows_flat.shape[0], (
+                    rows_flat.shape, valbits_flat.shape)
+            else:
+                assert rows_flat.shape[0] == valbits_flat.shape[0], (
+                    rows_flat.shape, valbits_flat.shape)
+            assert rows_flat.shape[0] >= int(np.asarray(offsets)[-1]) + self._chunk, (
+                "device_csr rows_flat must be padded >= one DMA chunk past "
                 "offsets[-1] with the n_docs sentinel (an aligned fetch "
                 "window near the end reads past the last posting)")
             self.fetch = "dma"
@@ -476,17 +536,19 @@ class SegsortEngine:
             fetch = "dma" if jax.default_backend() not in ("cpu",) else "gather"
         self.fetch = fetch
         if fetch == "dma":
-            from scaling_retriever_tpu.ops.pallas_fetch import CHUNK
-
-            # pad by CHUNK so every aligned job window stays in bounds
+            # pad by one chunk so every aligned job window stays in bounds
             # (a clipped source near the array end would fetch wrong data)
-            pad = CHUNK
+            pad = self._chunk
             rows = np.concatenate([index.doc_rows.astype(np.int32),
                                    np.full(pad, self.n_docs, np.int32)])
-            vals = np.concatenate([index.values.astype(np.float32),
-                                   np.zeros(pad, np.float32)])
             self.rows_flat = jnp.asarray(rows)
-            self.valbits_flat = jnp.asarray(vals.view(np.int32))
+            if val_dtype == "bf16":
+                self.valbits_flat = jnp.asarray(pack_values_bf16(
+                    index.values, len(rows)))
+            else:
+                vals = np.concatenate([index.values.astype(np.float32),
+                                       np.zeros(pad, np.float32)])
+                self.valbits_flat = jnp.asarray(vals.view(np.int32))
         else:
             packed = pack_postings(index.offsets, index.doc_rows, index.values)
             self.packed = jnp.asarray(packed)
@@ -519,13 +581,13 @@ class SegsortEngine:
     def job_need(self, q_terms: np.ndarray, q_vals: np.ndarray) -> np.ndarray:
         """Per-query DMA job count [nq] from the host-side offsets — the
         cost model shared by the driver's cost-sized tile packing
-        (SparseRetrieval) and this engine's own bucket selection."""
-        from scaling_retriever_tpu.ops.pallas_fetch import ALIGN, CHUNK
-
+        (SparseRetrieval) and this engine's own bucket selection. bf16
+        layouts count CHUNK2-posting jobs (each job moves the same ~6 KB)."""
+        c = self._chunk
         starts = self._host_offsets[q_terms]
         lens = self._host_lens[q_terms] * (q_vals > 0)
-        heads = starts % ALIGN
-        return np.sum(-(-(heads + lens) // CHUNK) * (lens > 0), axis=1)
+        heads = starts % c
+        return np.sum(-(-(heads + lens) // c) * (lens > 0), axis=1)
 
     def retrieve_tile(self, q_dense: np.ndarray, topk: Optional[int] = None
                       ) -> tuple[np.ndarray, np.ndarray]:
@@ -542,6 +604,7 @@ class SegsortEngine:
         need exceeded the bucket are truncated and must be re-routed by
         the caller (text_frontend does). Requires the DMA fetch path."""
         assert self.fetch == "dma", "device handoff requires fetch='dma'"
+        assert self.val_dtype == "f32", "handoff rides the f32 layout"
         k = min(topk or self.topk, self.n_docs)
         interpret = jax.default_backend() == "cpu"
         return segsort_retrieve_dma_packed(
@@ -597,7 +660,9 @@ class SegsortEngine:
             # compiled variants, <= 1.33x sort-input inflation
             jobs_per_query = bucket_jobs(
                 int(self.job_need(q_terms, q_vals).max(initial=0)))
-            scores, rows, total = segsort_retrieve_dma(
+            fn = (segsort_retrieve_dma_bf16 if self.val_dtype == "bf16"
+                  else segsort_retrieve_dma)
+            scores, rows, total = fn(
                 self.rows_flat, self.valbits_flat, self.offsets,
                 jnp.asarray(q_terms), jnp.asarray(q_vals), k=k,
                 jobs_per_query=jobs_per_query, n_docs=self.n_docs,
