@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "xla", "segsort", "maxscore", "cpp"],
                    help="auto = segsort on an accelerator, xla scan on CPU")
+    p.add_argument("--index_val_dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="segsort CSR value layout: bf16 packs two values "
+                        "per i32 slot (6 B/posting vs 8; measured x1.00 "
+                        "QPS, tie-equal results — PERFORMANCE.md)")
     p.add_argument("--query_tile", type=int, default=64,
                    help="max queries per device tile (the measured "
                         "throughput peak on v5e; cost-sized packing may "
@@ -227,7 +232,8 @@ def sparse_retrieval(args) -> None:
     os.makedirs(args.out_dir, exist_ok=True)
     retriever = SparseRetrieval(model, args.index_dir, out_dir=args.out_dir,
                                 topk=args.top_k, engine=args.engine, mesh=mesh,
-                                query_tile=args.query_tile)
+                                query_tile=args.query_tile,
+                                index_val_dtype=args.index_val_dtype)
     if args.passes <= 1:
         retriever.retrieve(loader, topk=args.top_k, threshold=0.0)
         return

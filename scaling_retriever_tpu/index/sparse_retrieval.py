@@ -63,7 +63,8 @@ class SparseRetrieval:
     def __init__(self, model, index: SparseIndex | str, out_dir: Optional[str] = None,
                  topk: int = 1000, engine: str = "auto", query_tile: int = 32,
                  block: int = 4096, mesh=None, data_axis: str = "data",
-                 value_dtype=jnp.bfloat16, hot_postings: Optional[int] = None):
+                 value_dtype=jnp.bfloat16, hot_postings: Optional[int] = None,
+                 index_val_dtype: str = "f32"):
         self.model = model
         t_setup = time.perf_counter()
         self.index = SparseIndex.load(index) if isinstance(index, str) else index
@@ -112,11 +113,17 @@ class SparseRetrieval:
                 SegsortEngine, ShardedSegsortEngine,
             )
 
+            # index_val_dtype="bf16" packs posting values two-per-i32 slot
+            # (6 B/posting vs 8): measured x1.00 QPS vs f32 at MSMARCO
+            # scale with tie-equal results (PERFORMANCE.md "bf16-packed
+            # posting values") — a pure capacity knob
             if mesh is not None and mesh.devices.size > 1:
                 self._seg = ShardedSegsortEngine(
-                    self.index, devices=list(mesh.devices.flat), topk=topk)
+                    self.index, devices=list(mesh.devices.flat), topk=topk,
+                    val_dtype=index_val_dtype)
             else:
-                self._seg = SegsortEngine(self.index, topk=topk)
+                self._seg = SegsortEngine(self.index, topk=topk,
+                                          val_dtype=index_val_dtype)
             self.n_docs = self.index.nb_docs()
         elif engine == "maxscore":
             from scaling_retriever_tpu.ops.maxscore import MaxScoreEngine

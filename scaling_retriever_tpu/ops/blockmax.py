@@ -196,22 +196,47 @@ def build_overlay(meta: dict, offsets: np.ndarray,
     ev_key = np.concatenate([s_q * OFF + s_lo, s_q * OFF + s_hi + 1])
     ev_dlt = np.concatenate([s_ub, -s_ub])
     # negatives first at equal positions: phantom zero-width segments then
-    # only DIP (can cause extra keeps, never wrong drops)
-    order = np.lexsort((ev_dlt, ev_key))
+    # only DIP (can cause extra keeps, never wrong drops). One NON-stable
+    # argsort of a composite key replaces the two stable lexsort passes
+    # (measured 26 -> ~5 ms per 278k-event tile): within an equal
+    # (position, sign) group the order is free — settled segment values
+    # are the cumsum at the END of each equal-key run, independent of
+    # within-run order, and i0/i1 (side='right' - 1) land on run ends.
+    key2 = ev_key * 2 + (ev_dlt > 0)
+    order = np.argsort(key2.astype(np.int32) if len(ev_key) == 0
+                       or int(key2.max()) < 2 ** 31 else key2)
     ev_key = ev_key[order]
     ev_val = np.cumsum(ev_dlt[order].astype(np.float64)).astype(np.float32)
     n_ev = len(ev_key)
     seg_w = np.empty(n_ev, np.int64)                   # width to next event
     seg_w[:-1] = ev_key[1:] - ev_key[:-1]
     seg_w[-1] = 0
-    seg_q = (ev_key // OFF).astype(np.int64)
+    seg_q = np.concatenate([s_q, s_q])[order]          # == ev_key // OFF
     seg_w[:-1][seg_q[:-1] != seg_q[1:]] = 0            # last segment of a q
 
-    # per-sub-entry segment range: events exist at exactly s_lo and
-    # s_hi + 1, so side='right' - 1 lands on the SETTLED segment holding
-    # each bound. Empty subs (hi = -1) get i1 < i0 and are never kept.
-    i0 = np.searchsorted(ev_key, s_q * OFF + s_lo, side="right") - 1
-    i1 = np.searchsorted(ev_key, s_q * OFF + s_hi, side="right") - 1
+    # per-sub-entry segment range: the settled segment holding each bound.
+    # Events exist at exactly s_lo and s_hi + 1, so instead of binary-
+    # searching 2E keys into the sorted array (measured 7.6 ms/tile) the
+    # positions come from the sort's inverse permutation + run boundaries:
+    # i0 = END of the run holding sub-entry s's own lo event (last index
+    # with key <= s_lo), i1 = index just BEFORE the run holding its hi+1
+    # event (last index with key <= s_hi). Empty subs (hi = -1) insert
+    # both events at the same key, so i1 = run_start - 1 < run_end = i0
+    # and are never kept.
+    inv = np.empty(n_ev, np.int64)
+    inv[order] = np.arange(n_ev)
+    idx = np.arange(n_ev, dtype=np.int64)
+    new_run = np.empty(n_ev, bool)                     # first of a key run
+    new_run[0] = True
+    np.not_equal(ev_key[1:], ev_key[:-1], out=new_run[1:])
+    run_start = np.maximum.accumulate(np.where(new_run, idx, -1))
+    run_end = np.empty(n_ev, np.int64)                 # last of a key run
+    run_end[:-1] = np.where(new_run[1:], idx[:-1], n_ev)
+    run_end[-1] = n_ev - 1
+    run_end = np.minimum.accumulate(run_end[::-1])[::-1]
+    E2 = len(s_q)
+    i0 = run_end[inv[:E2]]
+    i1 = run_start[inv[E2:]] - 1
     return {"nq": nq, "R": R, "e_q": e_q, "e_w": e_w, "i0": i0, "i1": i1,
             "src": src,
             "lo_loc": np.clip(starts_t - src, 0, CHUNK).astype(np.int32),
@@ -220,26 +245,34 @@ def build_overlay(meta: dict, offsets: np.ndarray,
             "ev_val": ev_val, "seg_w": seg_w, "seg_q": seg_q}
 
 
-def cover_tau(ov: dict, target_docs: float) -> np.ndarray:
+def cover_tau(ov: dict, target_docs: float, nbins: int = 4096) -> np.ndarray:
     """Pass-1 keep threshold per query: the UB level at which the kept
-    doc-width first covers ``target_docs`` docs (descending-UB sweep;
-    zero-width phantom segments never trigger the crossing)."""
+    doc-width first covers ``target_docs`` docs (zero-width phantom
+    segments carry no width and never trigger the crossing).
+
+    Histogram weighted-quantile select instead of a per-tile global sort
+    (measured 21.6 -> ~4 ms): bin widths by UB level, suffix-sum from the
+    top, return the LOWER edge of the crossing bin. Rounding tau DOWN by
+    up to one bin (vmax/nbins) only makes pass 1 keep a few more docs —
+    any tau here is correct (it sizes pass 1; exactness comes from the
+    pass-2 threshold seeded by pass 1's exact k-th score)."""
     nq = ov["nq"]
     ev_val, seg_w, seg_q = ov["ev_val"], ov["seg_w"], ov["seg_q"]
-    o2 = np.lexsort((-ev_val, seg_q))
-    cw = np.cumsum(seg_w[o2].astype(np.float64))
-    q_sorted = seg_q[o2]
-    q_start = np.searchsorted(q_sorted, np.arange(nq))
-    q_end = np.searchsorted(q_sorted, np.arange(nq) + 1)
-    tau = np.zeros(nq, np.float32)
-    for q in range(nq):                                # nq <= 64: cheap
-        s, e = q_start[q], q_end[q]
-        if s >= e:
-            continue
-        local = cw[s:e] - (cw[s] - seg_w[o2[s]])
-        idx = min(np.searchsorted(local, target_docs), e - s - 1)
-        tau[q] = ev_val[o2[s + idx]]
-    return np.maximum(tau, 0.0)
+    v = np.maximum(ev_val, 0.0)
+    vmax = float(v.max(initial=0.0))
+    if vmax <= 0.0:
+        return np.zeros(nq, np.float32)
+    idx = np.minimum((v * np.float32(nbins / vmax)).astype(np.int64),
+                     nbins - 1)
+    cnt = np.bincount(seg_q * nbins + idx, weights=seg_w,
+                      minlength=nq * nbins).reshape(nq, nbins)
+    suf = np.cumsum(cnt[:, ::-1], axis=1)           # width above each level
+    crossed = suf >= target_docs
+    hit = crossed.argmax(axis=1)                    # first (highest) crossing
+    tau = ((nbins - 1 - hit) * (vmax / nbins)).astype(np.float32)
+    # a query whose total width never reaches target keeps everything
+    return np.where(crossed[:, -1], np.maximum(tau, 0.0),
+                    np.float32(0.0)).astype(np.float32)
 
 
 def keep_entries(ov: dict, tau: np.ndarray) -> np.ndarray:

@@ -688,7 +688,8 @@ class ShardedSegsortEngine:
     """
 
     def __init__(self, index, devices=None, topk: int = 1000,
-                 query_terms_budget: int = 64, min_budget: int = 1 << 17):
+                 query_terms_budget: int = 64, min_budget: int = 1 << 17,
+                 val_dtype: str = "f32"):
         import jax as _jax
 
         devices = list(devices if devices is not None else _jax.devices())
@@ -709,7 +710,8 @@ class ShardedSegsortEngine:
                 # per-device uploads overlap instead of serializing
                 eng = SegsortEngine(shard_indexes[d], topk=topk,
                                     query_terms_budget=query_terms_budget,
-                                    min_budget=min_budget, sync_upload=False)
+                                    min_budget=min_budget, sync_upload=False,
+                                    val_dtype=val_dtype)
             self.shards.append(eng)
             self.row_offsets.append(d * per)
         for eng in self.shards:

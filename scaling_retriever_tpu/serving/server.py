@@ -712,6 +712,11 @@ def main(argv=None) -> None:
     ap.add_argument("--warmup_texts", default=None,
                     help="text file (one query per line) to pre-compile "
                          "and warm the encoder width rungs")
+    ap.add_argument("--val_dtype", choices=("f32", "bf16"), default="f32",
+                    help="sparse CSR value layout: bf16 packs two values "
+                         "per i32 slot (6 B/posting vs 8; measured x1.00 "
+                         "QPS, tie-equal — PERFORMANCE.md). The text "
+                         "handoff path requires f32")
     ap.add_argument("--handoff", choices=("auto", "off"), default="auto",
                     help="device encode->retrieve handoff for text "
                          "queries: sparsified reps stay on device and feed "
@@ -730,7 +735,8 @@ def main(argv=None) -> None:
         from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
 
         index = SparseIndex.load(args.index_dir)
-        engine = SegsortEngine(index, topk=args.topk)
+        engine = SegsortEngine(index, topk=args.topk,
+                               val_dtype=args.val_dtype)
         hot_lane = None
         if args.hot_lane == "cpp":
             from scaling_retriever_tpu.index.cpp_engine import CppSparseEngine
@@ -772,7 +778,8 @@ def main(argv=None) -> None:
         else:
             rungs = [int(x) for x in args.query_length_rungs.split(",")]
         use_handoff = (args.handoff == "auto"
-                       and getattr(engine, "fetch", None) == "dma")
+                       and getattr(engine, "fetch", None) == "dma"
+                       and getattr(engine, "val_dtype", "f32") == "f32")
         encode_fn = (make_encode_fn_handoff(model, args.t_sparse)
                      if use_handoff else make_encode_fn(model, args.t_sparse))
         frontend = QueryEncoderFrontend(

@@ -159,6 +159,27 @@ def test_sparse_segsort_engine_driver(sparse_setup, tmp_path):
     _check_run(run, q_batches, q_dense, docs_dense, k=10)
 
 
+def test_sparse_segsort_bf16_index_driver(sparse_setup, tmp_path):
+    """index_val_dtype="bf16" plumbing through SparseRetrieval: same top-k
+    sets as the f32 engine within bf16 quantization (values quantize to 8
+    mantissa bits; same-sign sums keep relative error <= ~0.4%)."""
+    model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
+    runs = {}
+    for vd in ("f32", "bf16"):
+        retriever = SparseRetrieval(
+            model, index_dir, out_dir=str(tmp_path / f"seg_{vd}"),
+            topk=10, engine="segsort", query_tile=4, index_val_dtype=vd)
+        retriever._seg.min_budget = 256
+        retriever._seg.T = 16
+        assert retriever._seg.val_dtype == vd
+        runs[vd], _ = retriever.retrieve(q_batches)
+    for qid, got in runs["f32"].items():
+        got_b = runs["bf16"][qid]
+        np.testing.assert_allclose(np.sort(list(got_b.values()))[::-1],
+                                   np.sort(list(got.values()))[::-1],
+                                   rtol=1e-2, atol=1e-3)
+
+
 def test_sparse_segsort_sharded_driver(sparse_setup, tmp_path):
     model, doc_batches, q_batches, index_dir, _out, docs_dense, q_dense = sparse_setup
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("data",))
