@@ -61,6 +61,16 @@ PAD_READ_KB = int(os.environ.get("SRT_ENCODE_PAD_KB", "512"))
 # on device and feed the retrieval program directly; "0" measures the old
 # packed-read + per-query-submit path for A/B
 HANDOFF = os.environ.get("SRT_TEXT_HANDOFF", "1") == "1"
+# encode dispatch-ahead depth (frontend default 2): how many encode(+chained
+# retrieval) tiles may be in flight before the oldest is drained
+DEPTH = int(os.environ.get("SRT_TEXT_DEPTH", "2"))
+# standing-bucket headroom over warmup max_need. 1.0 here: the bench's query
+# population is stationary (warmup sees the true max need), and the retrieval
+# tile cost is ~linear in the bucket — 768 vs 640 is the difference between a
+# 460 and a 518 QPS device ceiling (scripts/text_handoff_probe.py). Live
+# deployments facing drift keep the frontend default (1.15); hotter queries
+# just re-route through the server's hot-lane path.
+BUCKET_HEADROOM = float(os.environ.get("SRT_TEXT_BUCKET_HEADROOM", "1.0"))
 
 
 def log(m):
@@ -146,7 +156,8 @@ def main() -> None:
                                      pad_read_bytes=PAD_READ_KB * 1024))
     frontend = QueryEncoderFrontend(server, encode_fn, tokenize_fn,
                                     widths=(8, WIDTH), t_sparse=T_SPARSE,
-                                    max_wait_ms=2.0)
+                                    max_wait_ms=2.0, pipeline_depth=DEPTH,
+                                    bucket_headroom=BUCKET_HEADROOM)
 
     rng = np.random.default_rng(0)
     word_bank = [f"w{i}" for i in rng.choice(VOCAB - 2, size=4096,
@@ -163,11 +174,20 @@ def main() -> None:
     ids, mask = tokenize_fn(warm_texts)
     packed = encode_fn(ids, mask)
     reps = []
-    for i in range(WIDTH):
-        vals = packed[i, T_SPARSE:2 * T_SPARSE]
-        keep = vals > 0
-        reps.append((packed[i, :T_SPARSE][keep].astype(np.int32),
-                     vals[keep]))
+    if HANDOFF:
+        # handoff encode_fn returns (terms, vals) device arrays; the server
+        # rep path still needs warming — it serves the over-bucket fallback
+        terms_np, vals_np = np.asarray(packed[0]), np.asarray(packed[1])
+        for i in range(WIDTH):
+            keep = vals_np[i] > 0
+            reps.append((terms_np[i][keep].astype(np.int32),
+                         vals_np[i][keep]))
+    else:
+        for i in range(WIDTH):
+            vals = packed[i, T_SPARSE:2 * T_SPARSE]
+            keep = vals > 0
+            reps.append((packed[i, :T_SPARSE][keep].astype(np.int32),
+                         vals[keep]))
     rw = server.warmup(reps, passes=4)
     log(f"retrieval warmup: {rw}")
     warm_s = round(time.perf_counter() - t0, 1)
@@ -231,6 +251,8 @@ def main() -> None:
         json.dump({"results": results, "frontend": fs,
                    "encode_pad_read_kb": PAD_READ_KB,
                    "length_rungs": list(LENGTH_RUNGS),
+                   "bucket_headroom": BUCKET_HEADROOM,
+                   "pipeline_depth": DEPTH,
                    "warmup_s": warm_s}, f, indent=1)
 
 

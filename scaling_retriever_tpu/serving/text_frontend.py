@@ -221,7 +221,8 @@ class QueryEncoderFrontend:
     def __init__(self, server, encode_fn: Callable, tokenize_fn: Callable,
                  widths: Sequence[int] = (8, 64), t_sparse: int = 64,
                  max_wait_ms: float = 2.0, pipeline_depth: int = 2,
-                 jobs_bucket: Optional[int] = None):
+                 jobs_bucket: Optional[int] = None,
+                 bucket_headroom: float = 1.15):
         self.server = server
         self.encode_fn = encode_fn
         self.tokenize_fn = tokenize_fn
@@ -248,6 +249,16 @@ class QueryEncoderFrontend:
                 "handoff encode fn needs a SparseTileBackend whose engine "
                 "is a DMA SegsortEngine (fetch='dma')")
         self.jobs_bucket = jobs_bucket
+        # Standing-bucket sizing: the per-tile engine path must round its
+        # bucket to the {2^k, 1.5*2^k} grid to bound compiled variants
+        # across a varying stream (bucket_jobs), but the handoff bucket is
+        # ONE standing value per deployment — size it EXACTLY (need *
+        # headroom, rounded to 64 for rank-tail block alignment). The grid
+        # rounding cost is real: 64-term uniform queries need 576 jobs;
+        # grid(1.5x) = 1024 vs exact(1.15x) = 704 — a 31% cut in sort
+        # input, and the sort dominates the retrieval tile. The headroom
+        # tail re-routes through server.submit (need is read per query).
+        self.bucket_headroom = float(bucket_headroom)
         self.n_handoff_tiles = 0
         self.n_fallback_queries = 0
         # dispatch-ahead depth: how many encode tiles may be in flight
@@ -258,7 +269,21 @@ class QueryEncoderFrontend:
         # the encode stage at device cost.
         self.pipeline_depth = max(1, pipeline_depth)
         self._q: queue.Queue = queue.Queue()
+        # DISPATCH/RESOLVE THREAD SPLIT: tokenize+dispatch and read+submit
+        # run on separate threads, handing tiles through this bounded queue
+        # (its depth IS the dispatch-ahead bound — a blocking put is the
+        # backpressure). On one thread, the ~30-40 ms of host tokenize +
+        # submit work per 64-wide tile sits BETWEEN drains and cannot
+        # overlap the ~70 ms device read; split, the dispatch thread
+        # tokenizes tile N+1 while the resolve thread drains tile N.
+        # Same-bucket full-bench A/B is drift-neutral (430 -> 422 at
+        # bucket 768) — the win shows with the exact standing bucket,
+        # where the shipped config (split + bucket 640) saturates at
+        # 488.7 QPS = 94% of the 518-QPS chained device ceiling
+        # (BENCH_TEXT.json, scripts/text_handoff_probe.py).
+        self._pending: queue.Queue = queue.Queue(maxsize=self.pipeline_depth)
         self._thread: Optional[threading.Thread] = None
+        self._resolver: Optional[threading.Thread] = None
         self._started = False
         self._lock = threading.Lock()
         self.n_texts = 0
@@ -272,6 +297,14 @@ class QueryEncoderFrontend:
                         "read": 0.0, "submit": 0.0}
 
     # -- lifecycle -------------------------------------------------------
+
+    def _size_bucket(self, max_need: int) -> int:
+        """Standing DMA-job bucket: exact need * headroom, rounded up to a
+        multiple of 64 (keeps the sort slab a multiple of the rank tail's
+        4096-slot selection block). One standing value = one compiled
+        variant, so no grid rounding is needed (see __init__)."""
+        need = max(int(max_need * self.bucket_headroom), 1)
+        return max(64, -(-need // 64) * 64)
 
     def warmup(self, sample_texts: Sequence[str], passes: int = 3) -> dict:
         """Compile + warm every encoder (width, length-rung) variant
@@ -309,10 +342,8 @@ class QueryEncoderFrontend:
                         terms_h, vals_h).max(initial=0)))
         handoff_stats = {}
         if self.handoff:
-            from scaling_retriever_tpu.ops.segsort_scoring import bucket_jobs
-
             if self.jobs_bucket is None:
-                self.jobs_bucket = bucket_jobs(max(int(max_need * 1.5), 1))
+                self.jobs_bucket = self._size_bucket(max_need)
             # warm the (width, bucket) retrieval variants the handoff path
             # will dispatch (each is one jit variant; a cold one costs a
             # 10-140 s remote compile mid-request)
@@ -340,6 +371,9 @@ class QueryEncoderFrontend:
         self._started = True
         self._thread = threading.Thread(target=self._loop,
                                         name="encode-frontend", daemon=True)
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          name="encode-resolve", daemon=True)
+        self._resolver.start()
         self._thread.start()
         return self
 
@@ -348,8 +382,10 @@ class QueryEncoderFrontend:
             return
         self._started = False
         self._q.put(_STOP)
-        self._thread.join()
+        self._thread.join()          # forwards _STOP through _pending
+        self._resolver.join()
         self._thread = None
+        self._resolver = None
         # drain raced submits so no Future hangs
         while True:
             try:
@@ -399,19 +435,6 @@ class QueryEncoderFrontend:
             batch.append(item)
         return batch
 
-    def _top_up(self, batch: list) -> list:
-        """Non-blocking queue drain into a sub-full batch (used between
-        pending-tile resolves: while the read runs, more texts arrive)."""
-        while len(batch) < self.widths[-1]:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            batch.append(item)
-            if item is _STOP:
-                break
-        return batch
-
     def _dispatch_batch(self, reqs: list):
         """Tokenize + enqueue one encode tile — and, on the handoff path,
         chain the retrieval program directly behind it on the device queue
@@ -436,14 +459,10 @@ class QueryEncoderFrontend:
                     # FIRST batch (one-time host read of its reps; the
                     # first tile also pays its jit compile — pass
                     # warmup() sample texts to avoid both)
-                    from scaling_retriever_tpu.ops.segsort_scoring import (
-                        bucket_jobs,
-                    )
-
                     need0 = engine.job_need(np.asarray(handle[0]),
                                             np.asarray(handle[1]))
-                    self.jobs_bucket = bucket_jobs(
-                        max(int(need0.max(initial=0) * 1.5), 1))
+                    self.jobs_bucket = self._size_bucket(
+                        int(need0.max(initial=0)))
                 rpayload = engine.retrieve_tile_handoff_async(
                     handle[0], handle[1], self.jobs_bucket,
                     topk=self.server.backend.topk)
@@ -571,43 +590,47 @@ class QueryEncoderFrontend:
         self.stage_s["submit"] += time.perf_counter() - t_read
 
     def _loop(self) -> None:
-        import collections
-
-        pending: collections.deque = collections.deque()
+        """Dispatch thread: collect -> tokenize -> dispatch ->
+        ``_pending.put``. The bounded put is the dispatch-ahead control:
+        when the resolver falls ``pipeline_depth`` tiles behind, the put
+        blocks, texts pile into ``_q``, and the next ``_collect`` finds a
+        full tile waiting (sub-full tiles self-correct under load). Narrow
+        tiles are RPC-floor-bound (~28 ms for 8 queries vs 43 ms for 64 at
+        the 1B scale), so that backpressure-filling matters."""
         while True:
-            # drain first when the pipeline is full, or when it holds
-            # work and nothing new is queued (never sit on a result)
-            if pending and (len(pending) >= self.pipeline_depth
-                            or self._q.empty()):
-                self._resolve_batch(*pending.popleft())
-                continue
             t0 = time.perf_counter()
             item = self._q.get()
             self.stage_s["wait"] += time.perf_counter() - t0
             if item is _STOP:
                 break
             batch = self._collect(item)
-            # sub-full batch while tiles are in flight: there is no hurry
-            # to dispatch (the device is busy anyway) — resolve the oldest
-            # pending tile and top the batch up with what arrived during
-            # the read. Narrow tiles are RPC-floor-bound (~28 ms for 8
-            # queries vs 43 ms for 64 at the 1B scale), so filling tiles
-            # is worth the wait exactly when the pipeline is non-empty.
-            while (pending and batch[-1] is not _STOP
-                   and len(batch) < self.widths[-1]):
-                self._resolve_batch(*pending.popleft())
-                batch = self._top_up(batch)
             stop = bool(batch) and batch[-1] is _STOP
             if stop:
                 batch = batch[:-1]
             if batch:
                 dispatched = self._dispatch_batch(batch)
                 if dispatched is not None:
-                    pending.append(dispatched)
+                    self._pending.put(dispatched)
             if stop:
                 break
-        while pending:
-            self._resolve_batch(*pending.popleft())
+        self._pending.put(_STOP)
+
+    def _resolve_loop(self) -> None:
+        """Resolve thread: drain tiles in dispatch order. Runs the host
+        read + per-query submit/resolve work that would otherwise sit
+        BETWEEN drains on the dispatch thread and stall tokenization of
+        the next tile (measured ~30-40 ms/tile of tokenize+submit vs the
+        ~70 ms device read it now overlaps)."""
+        while True:
+            item = self._pending.get()
+            if item is _STOP:
+                break
+            try:
+                self._resolve_batch(*item)
+            except Exception as e:  # fail this tile's futures; a dead
+                for _, _, fut, _ in item[0]:  # resolver would wedge the
+                    if not fut.done():        # dispatch thread's bounded put
+                        fut.set_exception(e)
 
     # -- stats ---------------------------------------------------------
 

@@ -169,6 +169,55 @@ def test_handoff_over_bucket_falls_back(stack):
     assert frontend.stats()["n_fallback_queries"] == len(texts)
 
 
+def test_size_bucket_exact_rounding(stack):
+    """Standing-bucket sizing: exact need * headroom rounded UP to 64
+    (rank-tail block alignment), floor 64 — no {2^k, 1.5*2^k} grid."""
+    _, _, _, server = stack
+    fe = QueryEncoderFrontend(
+        server, make_fake_encode_handoff(), fake_tokenize,
+        widths=(4, 8), t_sparse=T, bucket_headroom=1.0)
+    assert fe._size_bucket(640) == 640          # exact multiple stays put
+    assert fe._size_bucket(641) == 704          # rounds up, not to 1024
+    assert fe._size_bucket(1) == 64             # floor
+    fe2 = QueryEncoderFrontend(
+        server, make_fake_encode_handoff(), fake_tokenize,
+        widths=(4, 8), t_sparse=T, bucket_headroom=1.15)
+    assert fe2._size_bucket(560) == 644 // 64 * 64 + 64  # 560*1.15=644 -> 704
+
+
+def test_resolver_survives_resolve_failure(stack):
+    """A blown-up _resolve_batch must fail ONLY that tile's futures — a dead
+    resolver thread would wedge the dispatch thread's bounded put."""
+    idx, _, _, server = stack
+    frontend = QueryEncoderFrontend(
+        server, make_fake_encode_handoff(), fake_tokenize,
+        widths=(4, 8), t_sparse=T, max_wait_ms=2.0)
+    frontend.warmup(_texts(4), passes=1)
+    real = frontend._resolve_batch
+    state = {"n": 0}
+
+    def boom(*a, **kw):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("injected resolve failure")
+        return real(*a, **kw)
+
+    frontend._resolve_batch = boom
+    with server:
+        frontend.start()
+        try:
+            f_bad = frontend.submit_text(_texts(1)[0])
+            with pytest.raises(RuntimeError, match="injected"):
+                f_bad.result(timeout=10)
+            # frontend still serves after the failure
+            text = _texts(1)[0]
+            ids, scores = frontend.search_text(text)
+            want = _oracle(idx, text, 10)
+            assert set(ids) >= set(want)
+        finally:
+            frontend.stop()
+
+
 def test_handoff_requires_dma_engine():
     idx = _index()
     eng = SegsortEngine(idx, topk=10, query_terms_budget=T, min_budget=256,
