@@ -135,7 +135,11 @@ class MaxScoreEngine:
         pruned, u_arr = build_impact_prefix(index, prefix)
         self._seg = SegsortEngine(pruned, topk=self.C,
                                   query_terms_budget=query_terms_budget,
-                                  min_budget=min_budget, fetch=fetch)
+                                  min_budget=min_budget, fetch=fetch,
+                                  # this engine unpacks the raw 4-tuple
+                                  # payload itself (device arrays feed the
+                                  # rescore) — keep the classic layout
+                                  packed_read=False)
         self.u_arr = u_arr
 
         terms_np, vals_np = index.to_doc_major()

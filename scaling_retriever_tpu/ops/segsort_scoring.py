@@ -463,6 +463,30 @@ def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
          need[:, None]], axis=1)
 
 
+# per-buffer read size below which the small-read RPC floor dominates:
+# reads under this auto-route through the ONE padded packed read
+# (CLAUDE.md small-read gotcha — ~28 ms/read vs ~6 ms transfer path)
+PACK_FLOOR_BYTES = 1 << 17
+
+
+@functools.partial(jax.jit, static_argnames=("cols",))
+def _pack_score_rows(scores: jax.Array, rows: jax.Array, cols: int
+                     ) -> jax.Array:
+    """(scores f32 [nq,k], rows i32 [nq,k]) → ONE i32 [nq, cols] buffer
+    (score bits | rows | zero pad). Small result slabs (k=10 serving is
+    2.5 KB/buffer at nq=64) pay the ~28 ms device→host RPC floor PER READ
+    and serialize behind queued compute; one buffer padded past the
+    transfer-path floor rides the ~6 ms bulk path and overlaps in-flight
+    tiles — the same trick as the text handoff's packed result
+    (segsort_retrieve_dma_packed) and the dense engine's certificate
+    packing."""
+    buf = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(scores, jnp.int32), rows], axis=1)
+    if cols > buf.shape[1]:
+        buf = jnp.pad(buf, ((0, 0), (0, cols - buf.shape[1])))
+    return buf
+
+
 class SegsortEngine:
     """Host driver: owns the packed index on device and picks power-of-two
     posting budgets per tile (bounded recompiles).
@@ -475,7 +499,9 @@ class SegsortEngine:
     def __init__(self, index, topk: int = 1000, query_terms_budget: int = 64,
                  min_budget: int = 1 << 17, fetch: str = "auto",
                  sync_upload: bool = True, device_csr=None,
-                 val_dtype: str = "f32"):
+                 val_dtype: str = "f32",
+                 packed_read: Optional[bool] = None,
+                 pack_pad_bytes: int = 1 << 19):
         """``device_csr=(rows_flat, valbits_flat, offsets, n_docs)`` builds
         the engine over a flat CSR that ALREADY lives on device (rows i32
         padded by >= CHUNK with the n_docs sentinel, values bitcast to i32,
@@ -488,12 +514,22 @@ class SegsortEngine:
         slots — 6 B/posting instead of 8 (VERDICT r3 #5 capacity play;
         CHUNK2-posting DMA jobs). Engine-exact over the bf16-quantized
         index; requires the DMA fetch. With device_csr, valbits_flat must
-        already be the packed layout (segsort_scoring.pack_values_bf16)."""
+        already be the packed layout (segsort_scoring.pack_values_bf16).
+
+        ``packed_read``: None (auto) packs scores|rows into ONE i32
+        buffer padded to >= ``pack_pad_bytes`` whenever a per-buffer read
+        would be under PACK_FLOOR_BYTES (small-k serving: two 2.5 KB reads
+        each paid the ~28 ms RPC floor — k=10 measured SLOWER than k=1000
+        before this). True/False force it. DMA path only; finalize()
+        unpacks either payload. Callers that unpack the raw 4-tuple
+        payload themselves (maxscore, the sharded merge) pass False."""
         self.topk = topk
         self.T = query_terms_budget
         self.min_budget = min_budget
         assert val_dtype in ("f32", "bf16"), val_dtype
         self.val_dtype = val_dtype
+        self.packed_read = packed_read
+        self.pack_pad_bytes = pack_pad_bytes
         from scaling_retriever_tpu.ops.pallas_fetch import CHUNK, CHUNK2
 
         # job granularity of the value layout (job_need / bucket sizing)
@@ -627,6 +663,10 @@ class SegsortEngine:
         buffer reads on purpose: scalar reads enqueue a device slice op that
         serializes behind later-dispatched tiles, breaking pipelined drivers
         (measured; see CLAUDE.md)."""
+        if isinstance(payload[0], str) and payload[0] == "packed_sr":
+            _, buf_d, k, _ = payload
+            buf = np.asarray(buf_d)      # the ONE padded whole-buffer read
+            return buf[:, :k].copy().view(np.float32), buf[:, k:2 * k]
         scores, rows, total, p_budget = payload
         if total is not None:
             assert int(np.asarray(total).max()) <= p_budget
@@ -669,6 +709,14 @@ class SegsortEngine:
                 interpret=interpret)
             # DMA path sizes the job table exactly from host offsets; no
             # device-side budget check needed before reading results
+            nq = q_terms.shape[0]
+            pack = (4 * nq * k < PACK_FLOOR_BYTES
+                    if self.packed_read is None else self.packed_read)
+            if pack:
+                per_row = -(-self.pack_pad_bytes // (4 * nq))
+                cols = max(2 * k, per_row)
+                return ("packed_sr",
+                        _pack_score_rows(scores, rows, cols), k, p_budget)
             return scores, rows, None, p_budget
         scores, rows, total = segsort_retrieve(
             self.packed, self.offsets, jnp.asarray(q_terms),
@@ -711,7 +759,10 @@ class ShardedSegsortEngine:
                 eng = SegsortEngine(shard_indexes[d], topk=topk,
                                     query_terms_budget=query_terms_budget,
                                     min_budget=min_budget, sync_upload=False,
-                                    val_dtype=val_dtype)
+                                    val_dtype=val_dtype,
+                                    # the k-way merge below unpacks the
+                                    # raw 4-tuple per shard
+                                    packed_read=False)
             self.shards.append(eng)
             self.row_offsets.append(d * per)
         for eng in self.shards:

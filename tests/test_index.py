@@ -331,6 +331,37 @@ def test_segsort_dma_engine_matches_gather(corpus_index):
                 np.testing.assert_allclose(want[i, r], s, atol=1e-4, rtol=1e-4)
 
 
+def test_segsort_packed_read_bit_parity(corpus_index):
+    """The small-k packed read (ONE padded scores|rows buffer — the
+    serving k=10 small-read fix) is bit-identical to the classic 4-tuple
+    payload, and the payload really is packed + padded."""
+    from scaling_retriever_tpu.ops.segsort_scoring import SegsortEngine
+
+    idx = corpus_index
+    nq, k = 4, 9
+    q = np.zeros((nq, V), np.float32)
+    for i in range(nq):
+        terms = RNG.choice(V, size=10, replace=False)
+        q[i, terms] = RNG.uniform(0.1, 2.0, size=10)
+
+    plain = SegsortEngine(idx, topk=k, query_terms_budget=16,
+                          min_budget=2048, fetch="dma", packed_read=False)
+    auto = SegsortEngine(idx, topk=k, query_terms_budget=16,
+                         min_budget=2048, fetch="dma",
+                         pack_pad_bytes=1 << 12)
+    p_plain = plain.retrieve_tile_async(q, k)
+    p_auto = auto.retrieve_tile_async(q, k)
+    # 4*nq*k = 144 B < floor → the auto engine must pack; pad honored
+    assert not isinstance(p_plain[0], str)
+    assert p_auto[0] == "packed_sr"
+    buf = np.asarray(p_auto[1])
+    assert buf.shape[0] == nq and buf.shape[1] * 4 * nq >= (1 << 12)
+    s0, r0 = plain.finalize(p_plain)
+    s1, r1 = auto.finalize(p_auto)
+    np.testing.assert_array_equal(s0, s1)   # bitcast round trip is exact
+    np.testing.assert_array_equal(r0, r1)
+
+
 def _random_queries(nq, n_terms=10, seed=None):
     rng = np.random.default_rng(seed) if seed is not None else RNG
     q = np.zeros((nq, V), np.float32)
