@@ -412,12 +412,13 @@ def pack_values_bf16(values: np.ndarray, pad_to: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "jobs_per_query", "n_docs",
-                                             "interpret"))
+                                             "interpret", "pad_cols"))
 def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
                                 offsets: jax.Array,
                                 q_terms: jax.Array, q_vals: jax.Array,
                                 k: int, jobs_per_query: int, n_docs: int,
-                                interpret: bool = False) -> jax.Array:
+                                interpret: bool = False,
+                                pad_cols: int = 0) -> jax.Array:
     """Device-handoff variant of ``segsort_retrieve_dma`` for query tiles
     that LIVE ON DEVICE (the text-serving encode→retrieve chain: the
     encoder's sparsified (terms, vals) arrays feed this program directly,
@@ -434,7 +435,9 @@ def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
       exactly ``segsort_retrieve_dma``'s.
     * ONE packed i32 [nq, 2k+1] result (score bits | rows | need): a
       single whole-buffer read instead of three (the small-read RPC floor,
-      CLAUDE.md)."""
+      CLAUDE.md). ``pad_cols`` > 2k+1 zero-pads the result so a SMALL-k
+      read (top-10: 5 KB) still rides the transfer path instead of the
+      per-read RPC floor — same fix as SegsortEngine's packed_read."""
     from scaling_retriever_tpu.ops.pallas_fetch import (ALIGN, CHUNK,
                                                         fetch_postings_dma)
 
@@ -458,9 +461,12 @@ def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
     head = starts - (starts // ALIGN) * ALIGN
     need = jnp.where(lens > 0, -(-(head + lens) // CHUNK), 0).sum(
         axis=1, dtype=jnp.int32)
-    return jnp.concatenate(
+    buf = jnp.concatenate(
         [jax.lax.bitcast_convert_type(top_scores, jnp.int32), top_rows,
          need[:, None]], axis=1)
+    if pad_cols > buf.shape[1]:
+        buf = jnp.pad(buf, ((0, 0), (0, pad_cols - buf.shape[1])))
+    return buf
 
 
 # per-buffer read size below which the small-read RPC floor dominates:
@@ -643,18 +649,28 @@ class SegsortEngine:
         assert self.val_dtype == "f32", "handoff rides the f32 layout"
         k = min(topk or self.topk, self.n_docs)
         interpret = jax.default_backend() == "cpu"
-        return segsort_retrieve_dma_packed(
+        nq = q_terms_dev.shape[0]
+        pad_cols = 0
+        if 4 * nq * (2 * k + 1) < PACK_FLOOR_BYTES:
+            # small-k result: pad the one packed read past the RPC floor
+            pad_cols = max(2 * k + 1, -(-self.pack_pad_bytes // (4 * nq)))
+        buf = segsort_retrieve_dma_packed(
             self.rows_flat, self.valbits_flat, self.offsets,
             q_terms_dev, q_vals_dev, k=k, jobs_per_query=jobs_per_query,
-            n_docs=self.n_docs, interpret=interpret)
+            n_docs=self.n_docs, interpret=interpret, pad_cols=pad_cols)
+        return buf, k
 
     @staticmethod
     def finalize_handoff(payload) -> tuple[np.ndarray, np.ndarray,
                                            np.ndarray]:
         """One whole-buffer read of a handoff payload →
         (scores [nq, k], rows [nq, k], need [nq])."""
-        buf = np.asarray(payload)
-        k = (buf.shape[1] - 1) // 2
+        if isinstance(payload, tuple):
+            buf_d, k = payload
+            buf = np.asarray(buf_d)
+        else:  # legacy un-padded payload: k is implied by the width
+            buf = np.asarray(payload)
+            k = (buf.shape[1] - 1) // 2
         scores = buf[:, :k].copy().view(np.float32)
         return scores, buf[:, k:2 * k], buf[:, 2 * k]
 

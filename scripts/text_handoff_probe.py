@@ -91,7 +91,7 @@ def main():
     ids, mask = make_ids()
 
     def read_handoff(p):
-        return np.asarray(p)
+        return np.asarray(p[0] if isinstance(p, tuple) else p)
 
     import jax.numpy as _jnp
 

@@ -114,6 +114,10 @@ def test_packed_variant_matches_dma(stack):
         n_docs=eng.n_docs, interpret=True)
     payload = eng.retrieve_tile_handoff_async(
         jnp.asarray(qt), jnp.asarray(qv), J, topk=10)
+    # small-k result (4*4*21 B) must come back zero-padded past the
+    # RPC-floor size as ONE (buf, k) payload
+    buf_d, k_out = payload
+    assert k_out == 10 and buf_d.shape[1] * 4 * qt.shape[0] >= (1 << 19)
     s1, r1, need = SegsortEngine.finalize_handoff(payload)
     np.testing.assert_array_equal(np.asarray(r0), r1)
     np.testing.assert_allclose(np.asarray(s0), s1, rtol=1e-6)
