@@ -48,7 +48,7 @@ from scaling_retriever_tpu.serving.text_frontend import (  # noqa: E402
 N_DOCS = 8_841_823
 K = 128
 VOCAB = 128_256
-TOPK = 1000
+TOPK = int(os.environ.get("SRT_TEXT_TOPK", "1000"))
 WIDTH = 64
 T_SPARSE = 64
 Q_WORDS = 8                  # ~MSMARCO query length -> 16-token rung
@@ -241,14 +241,16 @@ def main() -> None:
         "metric": "text_in_serving_qps",
         "value": best,
         "unit": (f"text queries/sec end-to-end (tokenize + 1B on-chip "
-                 f"encode + top-1000 retrieval over 8.84M docs / 1.13B "
+                 f"encode + top-{TOPK} retrieval over 8.84M docs / 1.13B "
                  f"postings, one chip, closed-loop; per-concurrency: "
                  + json.dumps(results)),
         "vs_baseline": None,
     }
     print(json.dumps(out))
-    with open("BENCH_TEXT.json", "w") as f:
-        json.dump({"results": results, "frontend": fs,
+    artifact = ("BENCH_TEXT.json" if TOPK == 1000
+                else f"BENCH_TEXT_k{TOPK}.json")
+    with open(artifact, "w") as f:
+        json.dump({"results": results, "frontend": fs, "topk": TOPK,
                    "encode_pad_read_kb": PAD_READ_KB,
                    "length_rungs": list(LENGTH_RUNGS),
                    "bucket_headroom": BUCKET_HEADROOM,
