@@ -55,7 +55,14 @@ WARM = 5
 # outputs, which for an activation stack is ~nothing (≈ full remat)
 REMAT = {"full": True, "none": False,
          "dots": "dots_saveable",
-         "dots_nb": "dots_with_no_batch_dims_saveable"}
+         "dots_nb": "dots_with_no_batch_dims_saveable",
+         # selective remat (named tensors in llama._layer_forward): "attn"
+         # saves the attention-side matmul outputs (~19% of layer FLOPs
+         # skipped in the backward recompute, ~2.8 GB extra resident);
+         # "attn_mlp" also saves the SwiGLU midpoint (skips the gate/up
+         # matmuls too, ~46% of the recompute, ~7 GB extra)
+         "attn": "names:attn_q,attn_k,attn_v,attn_out",
+         "attn_mlp": "names:attn_q,attn_k,attn_v,attn_out,mlp_mid"}
 
 
 def log(m):

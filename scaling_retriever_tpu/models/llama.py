@@ -239,22 +239,32 @@ def _layer_forward(h: jax.Array, lp: dict, bias: jax.Array,
     def dn(x, w, b, lora, slot):
         return dense(x, w, b, lora, lora_scale, lora_dropout, rng_for(slot))
 
+    # checkpoint_name is an identity marker: under a
+    # ``remat="names:..."`` policy (see forward_hidden) the named tensor is
+    # SAVED by the layer remat instead of recomputed in the backward pass —
+    # selective remat trades a few GB of saved activations for skipping the
+    # named matmuls' recompute (measured in bench_train.py --remat attn/
+    # attn_mlp; full remat re-runs the whole layer forward)
+    from jax.ad_checkpoint import checkpoint_name
+
     ap = lp["attn"]
     x = rms_norm(h, lp["input_norm"], config.rms_norm_eps)
     q = dn(x, ap["wq"], ap.get("bq"), lget("attn", "wq"), 0).reshape(b_, s, nq, hd)
     k = dn(x, ap["wk"], ap.get("bk"), lget("attn", "wk"), 1).reshape(b_, s, nkv, hd)
     v = dn(x, ap["wv"], ap.get("bv"), lget("attn", "wv"), 2).reshape(b_, s, nkv, hd)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q = checkpoint_name(apply_rope(q, cos, sin), "attn_q")
+    k = checkpoint_name(apply_rope(k, cos, sin), "attn_k")
+    v = checkpoint_name(v, "attn_v")
     attn_out = attention(q, k, v, bias, config)
     attn_out = dn(attn_out, ap["wo"], None, lget("attn", "wo"), 3)
-    h = h + attn_out
+    h = h + checkpoint_name(attn_out, "attn_out")
 
     mp = lp["mlp"]
     x = rms_norm(h, lp["post_attn_norm"], config.rms_norm_eps)
     gate = dn(x, mp["wg"], None, lget("mlp", "wg"), 4)
     up = dn(x, mp["wu"], None, lget("mlp", "wu"), 5)
-    mlp_out = dn(jax.nn.silu(gate) * up, mp["wd"], None, lget("mlp", "wd"), 6)
+    mid = checkpoint_name(jax.nn.silu(gate) * up, "mlp_mid")
+    mlp_out = dn(mid, mp["wd"], None, lget("mlp", "wd"), 6)
     return h + mlp_out
 
 
@@ -295,9 +305,18 @@ def forward_hidden(params: dict, input_ids: jax.Array, attention_mask: jax.Array
         # True = full remat; a string names a jax.checkpoint_policies
         # member for selective remat (saves the policy's tensors, recomputes
         # the rest — the train-step FLOP/memory trade measured in
-        # bench_train.py --breakdown)
-        policy = (getattr(jax.checkpoint_policies, config.remat)
-                  if isinstance(config.remat, str) else None)
+        # bench_train.py --breakdown). "names:a,b" saves exactly the
+        # checkpoint_name-marked tensors a,b from _layer_forward
+        # (attn_q/attn_k/attn_v/attn_out/mlp_mid) so the backward skips
+        # recomputing the matmuls that produce them.
+        if isinstance(config.remat, str):
+            if config.remat.startswith("names:"):
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    *config.remat[len("names:"):].split(","))
+            else:
+                policy = getattr(jax.checkpoint_policies, config.remat)
+        else:
+            policy = None
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     if lora_layers is None:

@@ -82,7 +82,8 @@ def add_args(p: argparse.ArgumentParser, pooling: str) -> None:
     p.add_argument("--fixed_length", action="store_true",
                    help="pad to max length for single-compile static shapes")
     p.add_argument("--remat", default="none",
-                   choices=["none", "full", "dots", "dots_nb"],
+                   choices=["none", "full", "dots", "dots_nb",
+                            "attn", "attn_mlp"],
                    help="layer activation rematerialization: none (default; "
                         "fastest when activations fit HBM), full "
                         "(jax.checkpoint per layer — required at the 1B+ "
@@ -90,8 +91,10 @@ def add_args(p: argparse.ArgumentParser, pooling: str) -> None:
                         "(checkpoint_policies.dots_saveable: matmul outputs "
                         "saved, elementwise recomputed), dots_nb "
                         "(dots_with_no_batch_dims_saveable ≈ full for an "
-                        "activation stack). Measured trade: bench_train.py "
-                        "--breakdown / PERFORMANCE.md")
+                        "activation stack), attn / attn_mlp (selective: "
+                        "save the named attention-side [+ SwiGLU-mid] "
+                        "tensors, skip their backward recompute). Measured "
+                        "trade: bench_train.py --breakdown / PERFORMANCE.md")
 
 
 def build_training(argv, pooling: str):
@@ -131,7 +134,14 @@ def build_training(argv, pooling: str):
 
     model_cls = MODEL_REGISTRY[(ns.model_type, pooling, ns.loss_type)]
     remat = {"none": False, "full": True, "dots": "dots_saveable",
-             "dots_nb": "dots_with_no_batch_dims_saveable"}[ns.remat]
+             "dots_nb": "dots_with_no_batch_dims_saveable",
+             # selective remat over the checkpoint_name-marked layer
+             # tensors (llama._layer_forward): the backward skips
+             # recomputing the named matmuls for a few GB of saved
+             # activations — measured in bench_train.py --remat attn
+             "attn": "names:attn_q,attn_k,attn_v,attn_out",
+             "attn_mlp": "names:attn_q,attn_k,attn_v,attn_out,mlp_mid",
+             }[ns.remat]
     if ns.model_type == "t5" and remat:
         parser.error("--remat applies to the decoder-only stacks; the T5 "
                      "checkpoints trained here (t5-base/large) fit HBM "

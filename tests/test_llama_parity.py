@@ -143,7 +143,13 @@ def test_bidirectional_not_causal():
     assert float(jnp.abs(h1[0, 0] - h2[0, 0]).max()) > 1e-6
 
 
-@pytest.mark.parametrize("remat", [True, "dots_with_no_batch_dims_saveable"])
+@pytest.mark.parametrize("remat", [
+    True, "dots_with_no_batch_dims_saveable",
+    # named selective remat: save exactly the checkpoint_name-marked layer
+    # tensors (bench_train.py --remat attn / attn_mlp)
+    "names:attn_q,attn_k,attn_v,attn_out",
+    "names:attn_q,attn_k,attn_v,attn_out,mlp_mid",
+])
 def test_remat_modes_match_no_remat(remat):
     """config.remat (full True, or a jax.checkpoint_policies name for
     selective remat — bench_train.py --remat) must not change values or

@@ -205,6 +205,13 @@ def test_train_sparse_cli_remat(model_dir, train_files, tmp_path):
     assert all(np.isfinite(l["loss"]) for l in logs)
     tr2, _ = build_training(common + ["--remat", "full"], "sparse")
     assert tr2.encoder.config.remat is True
+    # selective named remat (checkpoint_name-marked layer tensors) trains too
+    tr3, _ = build_training(common + ["--remat", "attn"], "sparse")
+    assert tr3.encoder.config.remat == "names:attn_q,attn_k,attn_v,attn_out"
+    tr3.train()
+    with open(os.path.join(out, "trainer_log.jsonl")) as f:
+        logs = [json.loads(l) for l in f]
+    assert all(np.isfinite(l["loss"]) for l in logs)
 
 
 def test_epochs_mode(model_dir, tmp_path):
