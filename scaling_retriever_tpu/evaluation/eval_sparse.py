@@ -77,10 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "segsort", "maxscore", "cpp"],
                    help="auto = segsort on an accelerator, xla scan on CPU")
     p.add_argument("--index_val_dtype", default="f32",
-                   choices=["f32", "bf16"],
+                   choices=["f32", "bf16", "q8"],
                    help="segsort CSR value layout: bf16 packs two values "
                         "per i32 slot (6 B/posting vs 8; measured x1.00 "
-                        "QPS, tie-equal results — PERFORMANCE.md)")
+                        "QPS, tie-equal results — PERFORMANCE.md); q8 "
+                        "packs (row24|code8) into ONE word (4 B/posting, "
+                        "exact over the 8-bit per-term-scaled codes)")
     p.add_argument("--query_tile", type=int, default=64,
                    help="max queries per device tile (the measured "
                         "throughput peak on v5e; cost-sized packing may "

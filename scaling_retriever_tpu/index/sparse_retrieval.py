@@ -116,7 +116,9 @@ class SparseRetrieval:
             # index_val_dtype="bf16" packs posting values two-per-i32 slot
             # (6 B/posting vs 8): measured x1.00 QPS vs f32 at MSMARCO
             # scale with tie-equal results (PERFORMANCE.md "bf16-packed
-            # posting values") — a pure capacity knob
+            # posting values") — a pure capacity knob. "q8" goes further:
+            # ONE (row24|code8) word per posting (4 B/posting, exact over
+            # the 8-bit per-term-scaled codes)
             if mesh is not None and mesh.devices.size > 1:
                 self._seg = ShardedSegsortEngine(
                     self.index, devices=list(mesh.devices.flat), topk=topk,

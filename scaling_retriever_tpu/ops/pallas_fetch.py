@@ -40,6 +40,15 @@ PIPELINE = 8    # outstanding DMA jobs (power of two; semaphore ring depth)
 # aligned because posting sources are CHUNK2(=2048)-aligned. 6 B/posting
 # instead of 8.
 CHUNK2 = 2048
+# q8-packed single-word layout (round 4, the capacity end-game of the
+# VERDICT r3 #5 ladder): ONE uint32 word per posting, (row24 << 8) | code8
+# with an 8-bit per-term-scaled impact code — 4 B/posting, HALF the f32
+# layout's bytes and ONE DMA stream per job instead of two. Keeps the f32
+# CHUNK geometry (only 1024-i32 source alignment is needed), so the job
+# table, padding inflation, and sort-input size are IDENTICAL to f32 —
+# strictly fewer bytes moved. Rows must fit 24 bits (n_docs < 16.7M; shard
+# the corpus over chips beyond — MSMARCO's 8.84M fits).
+Q8_ROW_LIMIT = 1 << 24
 
 
 def _fetch_kernel(src_ref, rows_hbm, vals_hbm, rows_out, vals_out, sem):
@@ -123,6 +132,34 @@ def _fetch_kernel_bf16(src_ref, rows_hbm, valsp_hbm, rows_out, vals_out,
         n1, n2 = dmas(j + PIPELINE)
         n1.start()
         n2.start()
+
+
+def _fetch_kernel_q8(src_ref, packed_hbm, packed_out, sem):
+    """Single-stream twin of ``_fetch_kernel`` for the q8 packed layout:
+    job j streams CHUNK (row24|code8) words with ONE DMA. Same
+    depth-PIPELINE software pipeline."""
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    def dma(job):
+        src = pl.multiple_of(src_ref[job], ALIGN)
+        dst = pl.multiple_of(job * CHUNK, CHUNK)
+        return pltpu.make_async_copy(packed_hbm.at[pl.ds(src, CHUNK)],
+                                     packed_out.at[pl.ds(dst, CHUNK)],
+                                     sem.at[job & (PIPELINE - 1)])
+
+    @pl.when(j == 0)
+    def _():
+        def start_job(i, carry):
+            dma(i).start()
+            return carry
+        jax.lax.fori_loop(0, min(PIPELINE, nj), start_job, 0)
+
+    dma(j).wait()
+
+    @pl.when(j + PIPELINE < nj)
+    def _():
+        dma(j + PIPELINE).start()
 
 
 def _job_table(src_al, prev_jobs, cum_jobs, region_start, region_end,
@@ -320,5 +357,77 @@ def fetch_postings_dma_bf16(rows_flat: jax.Array, valpacked_flat: jax.Array,
              ).reshape(nq, p_pad)
     qw = jnp.broadcast_to(j_qv[:, :, None],
                           (nq, jobs_per_query, CHUNK2)).reshape(nq, p_pad)
+    qw = jnp.where(valid, qw, 0.0)
+    return rows, vals, qw, valid
+
+
+@functools.partial(jax.jit, static_argnames=("jobs_per_query", "interpret"))
+def fetch_postings_dma_q8(packed_flat: jax.Array,
+                          q_terms: jax.Array, offsets: jax.Array,
+                          q_vals: jax.Array, jobs_per_query: int,
+                          interpret: bool = False
+                          ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                     jax.Array]:
+    """q8 single-word-layout twin of ``fetch_postings_dma`` (4 B/posting:
+    ``(row24 << 8) | code8`` per i32 slot — segsort_scoring.pack_postings_q8
+    builds it and holds the per-term dequant scales, which the ENGINE folds
+    into the query weights host-side, so ``q_vals`` here must already be
+    scale-folded). Jobs keep the f32 CHUNK geometry (single stream only
+    needs 1024-i32 alignment): identical job table and sort-input size,
+    half the DMA bytes, one DMA per job instead of two. Returns
+    (rows, vals, qw, valid) each [nq, jobs_per_query * CHUNK] with vals the
+    integer codes widened to f32 (contrib = folded-qw * code)."""
+    nq, T = q_terms.shape
+    nnz = packed_flat.shape[0]
+    p_pad = jobs_per_query * CHUNK
+
+    lens = ((offsets[q_terms + 1] - offsets[q_terms])
+            * (q_vals > 0)).astype(jnp.int32)                        # [nq, T]
+    starts = offsets[q_terms].astype(jnp.int32)
+    src_al = (starts // ALIGN) * ALIGN
+    head = starts - src_al                                           # [0, ALIGN)
+    n_jobs = jnp.where(lens > 0, -(-(head + lens) // CHUNK), 0)
+    cum_jobs = jnp.cumsum(n_jobs, axis=1)
+    prev_jobs = jnp.concatenate(
+        [jnp.zeros((nq, 1), jnp.int32), cum_jobs[:, :-1]], axis=1)
+
+    region_start = prev_jobs * CHUNK + head
+    region_end = region_start + lens
+    use_scan = nq * T * jobs_per_query > 32 * 1024 * 1024
+    src_j, jv_start, jv_end, j_qv = _job_table(
+        src_al, prev_jobs, cum_jobs, region_start, region_end, q_vals,
+        jobs_per_query, use_scan)
+    max_src = ((nnz - CHUNK) // ALIGN) * ALIGN
+    src_flat = jnp.clip(src_j.reshape(-1), 0, max_src)
+
+    total_jobs = nq * jobs_per_query
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total_jobs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((PIPELINE,))],
+    )
+    packed_o = pl.pallas_call(
+        _fetch_kernel_q8,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((total_jobs * CHUNK,), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(src_flat, packed_flat)
+    # decode: logical shift via uint32 view (row << 8 can set the sign bit
+    # for rows >= 2^23 — arithmetic i32 shift would smear it)
+    pu = jax.lax.bitcast_convert_type(packed_o, jnp.uint32)
+    rows = (pu >> jnp.uint32(8)).astype(jnp.int32).reshape(nq, p_pad)
+    vals = (pu & jnp.uint32(0xFF)).astype(jnp.float32).reshape(nq, p_pad)
+
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (jobs_per_query, CHUNK), 0)
+           * CHUNK
+           + jax.lax.broadcasted_iota(jnp.int32, (jobs_per_query, CHUNK), 1)
+           )[None]                                                   # [1, J, C]
+    valid = ((pos >= jv_start[:, :, None]) & (pos < jv_end[:, :, None])
+             ).reshape(nq, p_pad)
+    qw = jnp.broadcast_to(j_qv[:, :, None],
+                          (nq, jobs_per_query, CHUNK)).reshape(nq, p_pad)
     qw = jnp.where(valid, qw, 0.0)
     return rows, vals, qw, valid

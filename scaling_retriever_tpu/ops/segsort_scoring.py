@@ -412,6 +412,75 @@ def pack_values_bf16(values: np.ndarray, pad_to: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "jobs_per_query", "n_docs",
+                                             "interpret"))
+def segsort_retrieve_dma_q8(packed_flat: jax.Array, offsets: jax.Array,
+                            q_terms: jax.Array, q_vals: jax.Array,
+                            k: int, jobs_per_query: int, n_docs: int,
+                            interpret: bool = False
+                            ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """segsort over the q8 single-word index layout (4 B/posting:
+    ``(row24 << 8) | code8`` per i32, f32 CHUNK-geometry jobs over ONE DMA
+    stream — ops/pallas_fetch.py fetch_postings_dma_q8). ``q_vals`` must
+    arrive SCALE-FOLDED (qw_t * scale_t — SegsortEngine does it from
+    pack_postings_q8's per-term scales), so contrib = folded-qw * code is
+    the exact f32 score over the quantized index. Engine-exact over the
+    stored codes — the quantization is an index-build decision, the same
+    contract as the bf16 layout."""
+    from scaling_retriever_tpu.ops.pallas_fetch import fetch_postings_dma_q8
+
+    T = q_terms.shape[1]
+    q_terms, neg_vals = jax.lax.sort(
+        (q_terms, -q_vals), dimension=1, num_keys=1)
+    q_vals = -neg_vals
+    rows, vals, qw, valid = fetch_postings_dma_q8(
+        packed_flat, q_terms, offsets, q_vals, jobs_per_query,
+        interpret=interpret)
+    sentinel = jnp.int32(n_docs)
+    contrib = jnp.where(valid, vals * qw, 0.0)
+    rows = jnp.where(valid, rows, sentinel)
+    total = valid.sum(axis=1)
+    top_scores, top_rows = _rank_tail(
+        rows, contrib, sentinel, k, T,
+        topm="pallas_interpret" if interpret else "pallas")
+    return top_scores, top_rows, total
+
+
+def pack_postings_q8(offsets: np.ndarray, doc_rows: np.ndarray,
+                     values: np.ndarray, n_docs: int, pad_to: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """CSR → the q8 single-word layout: per posting ONE i32 word
+    ``(row24 << 8) | code8`` with ``code = clip(round(val / scale), 1, 255)``
+    and per-term ``scale = max_val / 255`` (codes are clamped to >= 1 so a
+    stored posting always contributes — SPLADE impacts are positive).
+    Returns (packed i32 [>= pad_to], scales f32 [V]). Dequantization is the
+    caller's: fold ``scales[q_terms]`` into the query weights (exact, no
+    per-posting work). Rows must fit 24 bits (n_docs < 2^24 — MSMARCO's
+    8.84M does; shard larger corpora over chips). Pad words carry the
+    n_docs sentinel row and code 0."""
+    from scaling_retriever_tpu.ops.pallas_fetch import Q8_ROW_LIMIT
+
+    assert n_docs < Q8_ROW_LIMIT, (
+        f"q8 rows are 24-bit: n_docs {n_docs} >= {Q8_ROW_LIMIT}; "
+        "shard the corpus")
+    offsets = np.asarray(offsets)
+    rows = np.asarray(doc_rows, np.uint32)
+    vals = np.asarray(values, np.float32)
+    lens = np.diff(offsets).astype(np.int64)
+    # per-term max via maximum.reduceat (empty terms get scale 1.0)
+    vmax = np.ones(len(lens), np.float32)
+    nz = lens > 0
+    if nz.any():
+        vmax[nz] = np.maximum.reduceat(vals, offsets[:-1][nz])
+    scales = np.where(nz & (vmax > 0), vmax / 255.0, 1.0).astype(np.float32)
+    per_post = np.repeat(scales, lens)
+    codes = np.clip(np.rint(vals / per_post), 1, 255).astype(np.uint32)
+    n = max(int(pad_to), len(rows))
+    packed = np.full(n, np.uint32(n_docs) << np.uint32(8), np.uint32)
+    packed[:len(rows)] = (rows << np.uint32(8)) | codes
+    return packed.view(np.int32), scales
+
+
+@functools.partial(jax.jit, static_argnames=("k", "jobs_per_query", "n_docs",
                                              "interpret", "pad_cols"))
 def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
                                 offsets: jax.Array,
@@ -522,6 +591,17 @@ class SegsortEngine:
         index; requires the DMA fetch. With device_csr, valbits_flat must
         already be the packed layout (segsort_scoring.pack_values_bf16).
 
+        ``val_dtype="q8"`` stores each posting as ONE i32 word
+        ``(row24 << 8) | code8`` — 4 B/posting (half of f32) over a SINGLE
+        DMA stream with the f32 CHUNK job geometry (identical sort input).
+        Per-term dequant scales fold into the query weights host-side, so
+        the device program is the plain contrib = qw * code segsort:
+        engine-exact over the stored codes (quantization is an index-build
+        decision, like bf16; codes keep <=0.2% relative value error on
+        SPLADE-like impacts). Requires n_docs < 2^24 and the DMA fetch.
+        With device_csr, pass ``(packed_flat, scales, offsets, n_docs)``
+        where ``scales`` is the host [V] f32 array from pack_postings_q8.
+
         ``packed_read``: None (auto) packs scores|rows into ONE i32
         buffer padded to >= ``pack_pad_bytes`` whenever a per-buffer read
         would be under PACK_FLOOR_BYTES (small-k serving: two 2.5 KB reads
@@ -532,14 +612,17 @@ class SegsortEngine:
         self.topk = topk
         self.T = query_terms_budget
         self.min_budget = min_budget
-        assert val_dtype in ("f32", "bf16"), val_dtype
+        assert val_dtype in ("f32", "bf16", "q8"), val_dtype
         self.val_dtype = val_dtype
         self.packed_read = packed_read
         self.pack_pad_bytes = pack_pad_bytes
-        from scaling_retriever_tpu.ops.pallas_fetch import CHUNK, CHUNK2
+        from scaling_retriever_tpu.ops.pallas_fetch import (CHUNK, CHUNK2,
+                                                            Q8_ROW_LIMIT)
 
-        # job granularity of the value layout (job_need / bucket sizing)
+        # job granularity of the value layout (job_need / bucket sizing);
+        # q8 keeps the f32 CHUNK geometry (single stream, 1024-aligned)
         self._chunk = CHUNK2 if val_dtype == "bf16" else CHUNK
+        self._host_scales = None
         if device_csr is not None:
             rows_flat, valbits_flat, offsets, n_docs = device_csr
             self.index = None
@@ -553,6 +636,14 @@ class SegsortEngine:
             if val_dtype == "bf16":
                 assert 2 * valbits_flat.shape[0] >= rows_flat.shape[0], (
                     rows_flat.shape, valbits_flat.shape)
+            elif val_dtype == "q8":
+                # single packed array: ``rows_flat`` IS the (row|code)
+                # word stream; ``valbits_flat`` slot carries the host [V]
+                # dequant scales instead
+                assert self.n_docs < Q8_ROW_LIMIT, (
+                    f"q8 rows are 24-bit: n_docs {self.n_docs}")
+                self._host_scales = np.asarray(valbits_flat, np.float32)
+                valbits_flat = None
             else:
                 assert rows_flat.shape[0] == valbits_flat.shape[0], (
                     rows_flat.shape, valbits_flat.shape)
@@ -576,21 +667,35 @@ class SegsortEngine:
         assert index.nnz < 2 ** 31, "shard the index: nnz exceeds int32"
         if fetch == "auto":
             fetch = "dma" if jax.default_backend() not in ("cpu",) else "gather"
+        if val_dtype != "f32":
+            # the packed layouts exist only on the DMA path; the gather
+            # path would silently score the UNQUANTIZED f32 values (an
+            # engine that lies about its own layout) — force dma, which
+            # runs in interpret mode on CPU
+            fetch = "dma"
         self.fetch = fetch
         if fetch == "dma":
             # pad by one chunk so every aligned job window stays in bounds
             # (a clipped source near the array end would fetch wrong data)
             pad = self._chunk
-            rows = np.concatenate([index.doc_rows.astype(np.int32),
-                                   np.full(pad, self.n_docs, np.int32)])
-            self.rows_flat = jnp.asarray(rows)
-            if val_dtype == "bf16":
-                self.valbits_flat = jnp.asarray(pack_values_bf16(
-                    index.values, len(rows)))
+            if val_dtype == "q8":
+                packed, scales = pack_postings_q8(
+                    index.offsets, index.doc_rows, index.values,
+                    self.n_docs, index.nnz + pad)
+                self.rows_flat = jnp.asarray(packed)
+                self.valbits_flat = None
+                self._host_scales = scales
             else:
-                vals = np.concatenate([index.values.astype(np.float32),
-                                       np.zeros(pad, np.float32)])
-                self.valbits_flat = jnp.asarray(vals.view(np.int32))
+                rows = np.concatenate([index.doc_rows.astype(np.int32),
+                                       np.full(pad, self.n_docs, np.int32)])
+                self.rows_flat = jnp.asarray(rows)
+                if val_dtype == "bf16":
+                    self.valbits_flat = jnp.asarray(pack_values_bf16(
+                        index.values, len(rows)))
+                else:
+                    vals = np.concatenate([index.values.astype(np.float32),
+                                           np.zeros(pad, np.float32)])
+                    self.valbits_flat = jnp.asarray(vals.view(np.int32))
         else:
             packed = pack_postings(index.offsets, index.doc_rows, index.values)
             self.packed = jnp.asarray(packed)
@@ -716,13 +821,24 @@ class SegsortEngine:
             # compiled variants, <= 1.33x sort-input inflation
             jobs_per_query = bucket_jobs(
                 int(self.job_need(q_terms, q_vals).max(initial=0)))
-            fn = (segsort_retrieve_dma_bf16 if self.val_dtype == "bf16"
-                  else segsort_retrieve_dma)
-            scores, rows, total = fn(
-                self.rows_flat, self.valbits_flat, self.offsets,
-                jnp.asarray(q_terms), jnp.asarray(q_vals), k=k,
-                jobs_per_query=jobs_per_query, n_docs=self.n_docs,
-                interpret=interpret)
+            if self.val_dtype == "q8":
+                # fold the per-term dequant scales into the query weights
+                # (exact: scoring is then plain qw' * code on device)
+                qv = (np.asarray(q_vals, np.float32)
+                      * self._host_scales[q_terms])
+                scores, rows, total = segsort_retrieve_dma_q8(
+                    self.rows_flat, self.offsets,
+                    jnp.asarray(q_terms), jnp.asarray(qv), k=k,
+                    jobs_per_query=jobs_per_query, n_docs=self.n_docs,
+                    interpret=interpret)
+            else:
+                fn = (segsort_retrieve_dma_bf16 if self.val_dtype == "bf16"
+                      else segsort_retrieve_dma)
+                scores, rows, total = fn(
+                    self.rows_flat, self.valbits_flat, self.offsets,
+                    jnp.asarray(q_terms), jnp.asarray(q_vals), k=k,
+                    jobs_per_query=jobs_per_query, n_docs=self.n_docs,
+                    interpret=interpret)
             # DMA path sizes the job table exactly from host offsets; no
             # device-side budget check needed before reading results
             nq = q_terms.shape[0]

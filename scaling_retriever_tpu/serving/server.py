@@ -712,10 +712,13 @@ def main(argv=None) -> None:
     ap.add_argument("--warmup_texts", default=None,
                     help="text file (one query per line) to pre-compile "
                          "and warm the encoder width rungs")
-    ap.add_argument("--val_dtype", choices=("f32", "bf16"), default="f32",
+    ap.add_argument("--val_dtype", choices=("f32", "bf16", "q8"),
+                    default="f32",
                     help="sparse CSR value layout: bf16 packs two values "
                          "per i32 slot (6 B/posting vs 8; measured x1.00 "
-                         "QPS, tie-equal — PERFORMANCE.md). The text "
+                         "QPS, tie-equal — PERFORMANCE.md); q8 packs "
+                         "(row24|code8) into ONE word (4 B/posting, exact "
+                         "over the 8-bit per-term-scaled codes). The text "
                          "handoff path requires f32")
     ap.add_argument("--handoff", choices=("auto", "off"), default="auto",
                     help="device encode->retrieve handoff for text "
