@@ -22,13 +22,26 @@ Methodology (see PERFORMANCE.md):
     scoring cost is data-independent — static shapes, every matched posting
     processed exactly once.
 
+Two posting layouts run in ONE invocation, same query stream, same driver:
+f32 (rows i32 + value bits i32, 8 B/posting, 9.1 GB) and q8 (ONE
+``(row24 << 8) | code8`` word per posting, 4 B/posting, 4.5 GB —
+ops/pallas_fetch.py fetch_postings_dma_q8; per-term dequant scales fold
+into the query weights host-side). On this index the q8 codes are LOSSLESS
+(all values 1.0 → code 255 at scale 1/255) and the bench asserts both arms
+agree to f32 rounding. The headline is the faster arm — q8 measured x1.12
+over f32 same-run (PERFORMANCE.md "q8 single-word posting layout") because
+it moves HALF the DMA bytes over one stream with the identical job table —
+with the other arm's same-run number disclosed in the unit string.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 NOTE: this index has uniform posting-list lengths; real MSMARCO postings
 are power-law. The companion `bench_zipf.py` measures the same engines on a
-zipf index with MSMARCO-calibrated queries (BENCH_ZIPF.json: 556.8 QPS =
-71.4x) — see PERFORMANCE.md for the side-by-side.
+zipf index with MSMARCO-calibrated queries (BENCH_ZIPF.json: 590.7 QPS =
+75.7x) — see PERFORMANCE.md for the side-by-side.
 """
+
+import functools
 
 import json
 import os
@@ -43,7 +56,9 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from scaling_retriever_tpu.ops.pallas_fetch import CHUNK  # noqa: E402
-from scaling_retriever_tpu.ops.segsort_scoring import segsort_retrieve_dma  # noqa: E402
+from scaling_retriever_tpu.ops.segsort_scoring import (  # noqa: E402
+    segsort_retrieve_dma, segsort_retrieve_dma_q8,
+)
 
 BASELINE_QPS = 7.8      # BASELINE.md: ~15 min for MSMARCO Dev on >32 CPUs
 
@@ -97,11 +112,25 @@ def main() -> None:
 
     jobs_per_query = 512  # tight bound: max matched ~424k postings -> ~480 chunk jobs
 
-    def dispatch(qt, qv):
+    state = {"packed_q8": None}
+    # per-term q8 scale: max value is 1.0 on this index -> scale 1/255 for
+    # every term; the fold into the query weights happens once, off the
+    # timed path (exactly what SegsortEngine does from pack_postings_q8)
+    q8_scale = np.float32(np.float32(1.0) / 255.0)
+    tiles_q8 = [(qt, jnp.asarray(np.asarray(qv) * q8_scale))
+                for qt, qv in tiles]
+
+    def dispatch_f32(qt, qv):
         return segsort_retrieve_dma(rows_flat, valbits_flat, offsets,
                                     qt, qv, k=TOPK,
                                     jobs_per_query=jobs_per_query,
                                     n_docs=N_DOCS)
+
+    def dispatch_q8(qt, qv):
+        return segsort_retrieve_dma_q8(state["packed_q8"], offsets,
+                                       qt, qv, k=TOPK,
+                                       jobs_per_query=jobs_per_query,
+                                       n_docs=N_DOCS)
 
     def read(out, check_total=False):
         # full-array host reads: a scalar read (s[0,0]) enqueues a device
@@ -117,46 +146,89 @@ def main() -> None:
         tot = int(np.asarray(out[2]).max()) if check_total else -1
         return float(s[0, 0]), int(r[0, 0]), tot
 
-    log("compiling ...")
-    t0 = time.perf_counter()
-    chk = read(dispatch(*tiles[0]), check_total=True)
-    log(f"compile+first: {time.perf_counter() - t0:.1f}s; "
-        f"max matched {chk[2]}")
-
-    # executable warm-up: the first ~2-8 executions of a freshly compiled
-    # program run 2-5x slow on this backend (PERFORMANCE.md runtime table) —
-    # without this the first timed pass drags the median down
-    t0 = time.perf_counter()
-    for _ in range(3):
-        read(dispatch(*tiles[0]))
-    log(f"warmed executable x3 in {time.perf_counter() - t0:.1f}s")
-
     # depth-2 pipeline: dispatch tile i+1 before the (blocking) host read of
     # tile i — the SparseRetrieval driver discipline
     from scaling_retriever_tpu.utils.utils import depth2_pipeline
 
     n_queries = TILE * N_TILES_TIMED
-    pass_qps = []
-    checks = []
-    for p in range(N_PASSES):
-        t0 = time.perf_counter()
-        depth2_pipeline(tiles[1:], lambda t: dispatch(*t),
-                        lambda out: checks.append(read(out)))
-        dt = time.perf_counter() - t0
-        pass_qps.append(n_queries / dt)
-        log(f"pass {p}: {n_queries} queries in {dt:.2f}s -> "
-            f"{pass_qps[-1]:.1f} QPS "
-            f"({dt / N_TILES_TIMED * 1e3:.0f} ms per {TILE}-query tile)")
-    qps = float(np.median(pass_qps))
-    log(f"median of {N_PASSES} passes: {qps:.1f} QPS on {N_DOCS} docs; "
-        f"sample top score {checks[0][0]:.2f} @ row {checks[0][1]}")
+    qps = {}
+    first_tile = {}
+    for name, dispatch, my_tiles in (("f32", dispatch_f32, tiles),
+                                     ("q8", dispatch_q8, tiles_q8)):
+        if name == "q8":
+            # valbits are dead once the f32 arm finishes; the rows buffer
+            # DONATES into the packed words (peak stays ~9.1 GB, and the q8
+            # arm holds only its 4.5 GB index)
+            valbits_flat.delete()
 
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def gen_q8(rows):
+                ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+                return jax.lax.bitcast_convert_type(
+                    (ru << jnp.uint32(8)) | jnp.uint32(255), jnp.int32)
+
+            t0 = time.perf_counter()
+            state["packed_q8"] = gen_q8(rows_flat)
+            _ = int(state["packed_q8"][0])
+            log(f"q8 packed words on device in {time.perf_counter()-t0:.0f}s "
+                f"({state['packed_q8'].nbytes / 1e9:.1f} GB)")
+
+        log(f"{name}: compiling ...")
+        t0 = time.perf_counter()
+        chk = read(dispatch(*my_tiles[0]), check_total=True)
+        log(f"{name}: compile+first {time.perf_counter() - t0:.1f}s; "
+            f"max matched {chk[2]}")
+
+        # executable warm-up: the first ~2-8 executions of a freshly
+        # compiled program run 2-5x slow on this backend (PERFORMANCE.md
+        # runtime table) — without this the first timed pass drags the
+        # median down
+        t0 = time.perf_counter()
+        for _ in range(3):
+            read(dispatch(*my_tiles[0]))
+        log(f"{name}: warmed executable x3 in {time.perf_counter() - t0:.1f}s")
+
+        pass_qps = []
+        checks = []
+        for p in range(N_PASSES):
+            t0 = time.perf_counter()
+            depth2_pipeline(my_tiles[1:], lambda t: dispatch(*t),
+                            lambda out: checks.append(read(out)))
+            dt = time.perf_counter() - t0
+            pass_qps.append(n_queries / dt)
+            log(f"{name} pass {p}: {n_queries} queries in {dt:.2f}s -> "
+                f"{pass_qps[-1]:.1f} QPS "
+                f"({dt / N_TILES_TIMED * 1e3:.0f} ms per {TILE}-query tile)")
+        qps[name] = float(np.median(pass_qps))
+        # full first-tile payload for the cross-arm exactness check
+        out = dispatch(*my_tiles[1])
+        first_tile[name] = (np.asarray(out[0], np.float32),
+                            np.asarray(out[1]))
+        log(f"{name}: median of {N_PASSES} passes {qps[name]:.1f} QPS on "
+            f"{N_DOCS} docs; sample top score {checks[0][0]:.2f} "
+            f"@ row {checks[0][1]}")
+
+    # the q8 codes are lossless on this index (values 1.0 -> code 255 at
+    # scale 1/255): both arms must agree to f32 rounding, ties and all
+    s_a, r_a = first_tile["f32"]
+    s_b, r_b = first_tile["q8"]
+    np.testing.assert_allclose(s_a, s_b, rtol=2e-5, atol=2e-5)
+    rows_ident = float((r_a == r_b).mean())
+    log(f"exactness: q8 == f32 to f32 rounding on the check tile "
+        f"(rows {rows_ident:.1%} identical, rest ties)")
+
+    best = max(qps, key=qps.get)
+    other = "f32" if best == "q8" else "q8"
     print(json.dumps({
         "metric": "sparse_retrieval_qps_msmarco_scale",
-        "value": round(qps, 1),
-        "unit": ("queries/sec (8.84M docs, 1.13B UNIFORM postings, top-1000, "
-                 "1 chip; power-law counterpart: BENCH_ZIPF.json 587.2 QPS)"),
-        "vs_baseline": round(qps / BASELINE_QPS, 1),
+        "value": round(qps[best], 1),
+        "unit": (f"queries/sec (8.84M docs, 1.13B UNIFORM postings, top-1000,"
+                 f" 1 chip, {best} posting layout"
+                 f" ({'4.5' if best == 'q8' else '9.1'} GB index);"
+                 f" same-run {other} {qps[other]:.1f} QPS, arms agree to f32"
+                 f" rounding; power-law counterpart: BENCH_ZIPF.json"
+                 f" 590.7 QPS)"),
+        "vs_baseline": round(qps[best] / BASELINE_QPS, 1),
     }))
 
 
