@@ -75,14 +75,33 @@ def main() -> None:
         rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
         return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
 
+    val_dtype = os.environ.get("SRT_VAL_DTYPE", "f32")
     t0 = time.perf_counter()
     rows_flat = gen_rows()
     _ = int(rows_flat[0])
-    valbits_flat = jnp.full((nnz + CHUNK,), np.float32(1.0).view(np.int32),
-                            jnp.int32)
-    _ = int(valbits_flat[0])
     offsets = np.arange(VOCAB + 1, dtype=np.int64) * per_term
-    log(f"index on device in {time.perf_counter()-t0:.0f}s")
+    if val_dtype == "q8":
+        # q8 single-word layout (4 B/posting — half the f32 HBM): values
+        # are 1.0 on this index so code 255 at per-term scale 1/255 is
+        # LOSSLESS; the rows buffer donates into the packed words
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def gen_q8(rows):
+            ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                (ru << jnp.uint32(8)) | jnp.uint32(255), jnp.int32)
+
+        rows_flat = gen_q8(rows_flat)
+        _ = int(rows_flat[0])
+        valbits_flat = np.full(VOCAB, np.float32(1.0) / np.float32(255.0),
+                               np.float32)      # per-term dequant scales
+    else:
+        valbits_flat = jnp.full((nnz + CHUNK,),
+                                np.float32(1.0).view(np.int32), jnp.int32)
+        _ = int(valbits_flat[0])
+    log(f"index on device in {time.perf_counter()-t0:.0f}s "
+        f"({rows_flat.nbytes / 1e9:.1f} GB, val_dtype={val_dtype})")
 
     # the PRODUCTION engine class over the device-generated CSR (round-4:
     # replaces a local two-read shim — SegsortEngine's packed small-k read
@@ -93,6 +112,7 @@ def main() -> None:
     engine = SegsortEngine(None, topk=TOPK, query_terms_budget=T_BUDGET,
                            device_csr=(rows_flat, valbits_flat, offsets,
                                        N_DOCS),
+                           val_dtype=val_dtype,
                            packed_read=None if pr_env is None
                            else bool(int(pr_env)))
     # width ladder: isolated requests ride the narrow rung (the per-query
@@ -155,17 +175,19 @@ def main() -> None:
         "metric": "serving_qps_msmarco_scale",
         "value": best,
         "unit": (f"queries/sec through the resident micro-batching server "
-                 f"(8.84M docs, 1.13B postings, top-{TOPK}, 1 chip, "
+                 f"(8.84M docs, 1.13B postings, top-{TOPK}, "
+                 f"val_dtype={val_dtype}, 1 chip, "
                  f"closed-loop clients; per-concurrency: "
                  + json.dumps(results)),
         "vs_baseline": round(best / 7.8, 1),
     }
     print(json.dumps(out))
-    fname = ("BENCH_SERVING.json" if TOPK == 1000
-             else f"BENCH_SERVING_k{TOPK}.json")
+    suffix = "" if val_dtype == "f32" else f"_{val_dtype}"
+    fname = (f"BENCH_SERVING{suffix}.json" if TOPK == 1000
+             else f"BENCH_SERVING_k{TOPK}{suffix}.json")
     with open(fname, "w") as f:
         json.dump({"results": results, "warmup": warm,
-                   "topk": TOPK}, f, indent=1)
+                   "topk": TOPK, "val_dtype": val_dtype}, f, indent=1)
 
 
 if __name__ == "__main__":

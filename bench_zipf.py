@@ -363,7 +363,82 @@ def main() -> None:
     results["segsort_real_qps"] = qps_seg
     log(f"segsort-full (calibrated stream): {qps_seg:.1f} QPS "
         f"({n_seg_q} queries, {dt/len(seg_tiles)*1e3:.0f} ms/tile avg)")
-    del full_rows, full_bits
+
+    # ---- phase A': q8 single-word layout on the SAME stream (opt-in) ------
+    # SRT_ZIPF_Q8=1 packs the full CSR into (row24 << 8) | code8 words
+    # (4 B/posting, half the f32 bytes — ops/pallas_fetch.py
+    # fetch_postings_dma_q8) and re-times the identical cost-sized tile
+    # stream. Unlike the uniform bench, the zipf impacts g(j) span 1 →
+    # ~1e-4 within a list, so the q8 codes are LOSSY here (codes clamp to
+    # >= 1; values below scale/2 inflate): the engine stays exact over the
+    # stored codes (index-build quantization, the engine contract), and the
+    # check below reports top-k row overlap + score drift vs the f32 arm
+    # rather than asserting equality. The claim under test is TIMING: does
+    # halving fetch bytes help on power-law, where the per-query sort (not
+    # the fetch) dominates the tile?
+    if os.environ.get("SRT_ZIPF_Q8"):
+        from scaling_retriever_tpu.ops.segsort_scoring import (
+            segsort_retrieve_dma_q8)
+
+        @jax.jit
+        def gen_q8(rows, bits):
+            vals = jax.lax.bitcast_convert_type(bits, jnp.float32)
+            code = jnp.clip(jnp.round(vals * 255.0), 1.0, 255.0)
+            code = jnp.where(vals > 0, code, 0.0).astype(jnp.uint32)
+            ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                (ru << jnp.uint32(8)) | code, jnp.int32)
+
+        t0 = time.perf_counter()
+        packed_q8 = gen_q8(full_rows, full_bits)
+        _ = int(packed_q8[0])
+        log(f"q8 packed words on device in {time.perf_counter()-t0:.0f}s "
+            f"({packed_q8.nbytes/1e9:.1f} GB); freeing f32 CSR")
+        del full_rows, full_bits
+        q8_scale = np.float32(np.float32(1.0) / 255.0)
+
+        def seg_dispatch_q8(qt, qv, bucket):
+            return segsort_retrieve_dma_q8(
+                packed_q8, full_offsets_dev,
+                jnp.asarray(qt), jnp.asarray(qv * q8_scale), k=TOPK,
+                jobs_per_query=bucket, n_docs=N_DOCS)
+
+        t0 = time.perf_counter()
+        for nqv, b in variants:
+            qt, qv, _, _ = next(x for x in seg_tiles
+                                if x[0].shape[0] == nqv and x[2] == b)
+            for _ in range(3):
+                s, r, _tot = seg_dispatch_q8(qt, qv, b)
+                _ = float(s[0, 0])
+        log(f"q8 warmed {len(variants)} variants x3 in "
+            f"{time.perf_counter()-t0:.0f}s")
+
+        t0 = time.perf_counter()
+        depth2_pipeline(
+            seg_tiles,
+            lambda t: (seg_dispatch_q8(t[0], t[1], t[2]), t[0], t[1], t[3]),
+            seg_drain)
+        dt_q8 = time.perf_counter() - t0
+        qps_q8 = n_seg_q / dt_q8
+        results["segsort_q8_qps"] = qps_q8
+        # quantization drift on the last tile: overlap of top-k rows + max
+        # relative score drift among rows both arms retained
+        r_f, r_q = r_seg0, last["r"]
+        s_f, s_q = s_seg0, last["s"]
+        overlap = float(np.mean([
+            len(np.intersect1d(r_f[i], r_q[i])) / r_f.shape[1]
+            for i in range(r_f.shape[0])]))
+        drift = float(np.max(np.abs(s_q - s_f) / np.maximum(s_f, 1e-9)))
+        results["q8_topk_row_overlap"] = overlap
+        results["q8_score_drift_max_rel"] = drift
+        log(f"segsort-q8 (same stream): {qps_q8:.1f} QPS "
+            f"(x{qps_q8/qps_seg:.2f} vs f32 {qps_seg:.1f}; top-{TOPK} row "
+            f"overlap {overlap:.1%}, max rel score drift {drift:.3f} — "
+            f"codes are lossy on 1→1e-4 zipf impacts, engine exact over "
+            f"the stored codes)")
+        del packed_q8  # phase B needs the HBM (prefix CSR + doc-major)
+    else:
+        del full_rows, full_bits
 
     # ---- phase B: maxscore (prefix + certificate + rescore) ---------------
     log(f"prefix F={F_PREFIX} -> {t['pre_nnz']/1e6:.0f}M prefix postings")

@@ -538,6 +538,57 @@ def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
     return buf
 
 
+@functools.partial(jax.jit, static_argnames=("k", "jobs_per_query", "n_docs",
+                                             "interpret", "pad_cols"))
+def segsort_retrieve_dma_packed_q8(packed_flat: jax.Array,
+                                   scales_dev: jax.Array,
+                                   offsets: jax.Array,
+                                   q_terms: jax.Array, q_vals: jax.Array,
+                                   k: int, jobs_per_query: int, n_docs: int,
+                                   interpret: bool = False,
+                                   pad_cols: int = 0) -> jax.Array:
+    """q8 twin of ``segsort_retrieve_dma_packed`` for DEVICE-RESIDENT query
+    tiles (the text-serving encode→retrieve handoff over the 4 B/posting
+    index). The per-term dequant scales live ON DEVICE ([V] f32 — ~512 KB
+    at the Llama-3 vocab) and fold into the query weights inside the
+    program, so the tile never visits the host, exactly like the f32
+    handoff. Job-need packing and the padded single (score bits | rows |
+    need) read match the f32 packed program; the fetch rides
+    ``fetch_postings_dma_q8`` (ONE DMA stream, f32 CHUNK geometry)."""
+    from scaling_retriever_tpu.ops.pallas_fetch import (
+        ALIGN, CHUNK, fetch_postings_dma_q8)
+
+    T = q_terms.shape[1]
+    # device-side dequant fold: contrib below is then folded-qw * code,
+    # the exact f32 score over the quantized index (the host fold's twin)
+    q_vals = q_vals * scales_dev[q_terms]
+    q_terms, neg_vals = jax.lax.sort(
+        (q_terms, -q_vals), dimension=1, num_keys=1)
+    q_vals = -neg_vals
+    rows, vals, qw, valid = fetch_postings_dma_q8(
+        packed_flat, q_terms, offsets, q_vals, jobs_per_query,
+        interpret=interpret)
+    sentinel = jnp.int32(n_docs)
+    contrib = jnp.where(valid, vals * qw, 0.0)
+    rows = jnp.where(valid, rows, sentinel)
+    top_scores, top_rows = _rank_tail(
+        rows, contrib, sentinel, k, T,
+        topm="pallas_interpret" if interpret else "pallas")
+    # true per-query job need, same arithmetic as the host job_need()
+    lens = ((offsets[q_terms + 1] - offsets[q_terms])
+            * (q_vals > 0)).astype(jnp.int32)
+    starts = offsets[q_terms].astype(jnp.int32)
+    head = starts - (starts // ALIGN) * ALIGN
+    need = jnp.where(lens > 0, -(-(head + lens) // CHUNK), 0).sum(
+        axis=1, dtype=jnp.int32)
+    buf = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(top_scores, jnp.int32), top_rows,
+         need[:, None]], axis=1)
+    if pad_cols > buf.shape[1]:
+        buf = jnp.pad(buf, ((0, 0), (0, pad_cols - buf.shape[1])))
+    return buf
+
+
 # per-buffer read size below which the small-read RPC floor dominates:
 # reads under this auto-route through the ONE padded packed read
 # (CLAUDE.md small-read gotcha — ~28 ms/read vs ~6 ms transfer path)
@@ -623,6 +674,7 @@ class SegsortEngine:
         # q8 keeps the f32 CHUNK geometry (single stream, 1024-aligned)
         self._chunk = CHUNK2 if val_dtype == "bf16" else CHUNK
         self._host_scales = None
+        self._scales_dev = None    # device copy, built lazily by the handoff
         if device_csr is not None:
             rows_flat, valbits_flat, offsets, n_docs = device_csr
             self.index = None
@@ -749,9 +801,12 @@ class SegsortEngine:
         caller-chosen standing job bucket — no host read or upload on this
         path. finalize_handoff reads the one packed result; rows whose true
         need exceeded the bucket are truncated and must be re-routed by
-        the caller (text_frontend does). Requires the DMA fetch path."""
+        the caller (text_frontend does). Requires the DMA fetch path.
+        f32 and q8 layouts only (the q8 dequant scales ride along on
+        device, [V] f32, and fold inside the program)."""
         assert self.fetch == "dma", "device handoff requires fetch='dma'"
-        assert self.val_dtype == "f32", "handoff rides the f32 layout"
+        assert self.val_dtype in ("f32", "q8"), (
+            "handoff rides the f32/q8 layouts")
         k = min(topk or self.topk, self.n_docs)
         interpret = jax.default_backend() == "cpu"
         nq = q_terms_dev.shape[0]
@@ -759,10 +814,18 @@ class SegsortEngine:
         if 4 * nq * (2 * k + 1) < PACK_FLOOR_BYTES:
             # small-k result: pad the one packed read past the RPC floor
             pad_cols = max(2 * k + 1, -(-self.pack_pad_bytes // (4 * nq)))
-        buf = segsort_retrieve_dma_packed(
-            self.rows_flat, self.valbits_flat, self.offsets,
-            q_terms_dev, q_vals_dev, k=k, jobs_per_query=jobs_per_query,
-            n_docs=self.n_docs, interpret=interpret, pad_cols=pad_cols)
+        if self.val_dtype == "q8":
+            if self._scales_dev is None:
+                self._scales_dev = jnp.asarray(self._host_scales)
+            buf = segsort_retrieve_dma_packed_q8(
+                self.rows_flat, self._scales_dev, self.offsets,
+                q_terms_dev, q_vals_dev, k=k, jobs_per_query=jobs_per_query,
+                n_docs=self.n_docs, interpret=interpret, pad_cols=pad_cols)
+        else:
+            buf = segsort_retrieve_dma_packed(
+                self.rows_flat, self.valbits_flat, self.offsets,
+                q_terms_dev, q_vals_dev, k=k, jobs_per_query=jobs_per_query,
+                n_docs=self.n_docs, interpret=interpret, pad_cols=pad_cols)
         return buf, k
 
     @staticmethod
@@ -891,10 +954,7 @@ class ShardedSegsortEngine:
                 eng = SegsortEngine(shard_indexes[d], topk=topk,
                                     query_terms_budget=query_terms_budget,
                                     min_budget=min_budget, sync_upload=False,
-                                    val_dtype=val_dtype,
-                                    # the k-way merge below unpacks the
-                                    # raw 4-tuple per shard
-                                    packed_read=False)
+                                    val_dtype=val_dtype)
             self.shards.append(eng)
             self.row_offsets.append(d * per)
         for eng in self.shards:

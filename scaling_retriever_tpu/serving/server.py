@@ -782,7 +782,8 @@ def main(argv=None) -> None:
             rungs = [int(x) for x in args.query_length_rungs.split(",")]
         use_handoff = (args.handoff == "auto"
                        and getattr(engine, "fetch", None) == "dma"
-                       and getattr(engine, "val_dtype", "f32") == "f32")
+                       and getattr(engine, "val_dtype", "f32")
+                       in ("f32", "q8"))
         encode_fn = (make_encode_fn_handoff(model, args.t_sparse)
                      if use_handoff else make_encode_fn(model, args.t_sparse))
         frontend = QueryEncoderFrontend(

@@ -163,6 +163,40 @@ def test_q8_device_csr_and_packed_read():
     np.testing.assert_array_equal(s1, s0)
 
 
+def test_q8_handoff_bit_identical_on_pow2_scales():
+    """The device encode→retrieve handoff over the q8 layout (scales fold
+    ON DEVICE inside segsort_retrieve_dma_packed_q8) must match the q8
+    host path bit-for-bit, and carry the same packed job-need column as
+    the f32 handoff."""
+    import jax.numpy as jnp
+
+    from scaling_retriever_tpu.ops.segsort_scoring import bucket_jobs
+
+    idx = _index(pow2_scales=True)
+    eng = SegsortEngine(idx, topk=12, query_terms_budget=8, fetch="dma",
+                        val_dtype="q8", packed_read=False)
+    qt, qv = _queries(4)
+    s0, r0 = eng.finalize(eng.retrieve_tile_async(None, 12,
+                                                  sparsified=(qt, qv)))
+    bucket = bucket_jobs(int(eng.job_need(qt, qv).max()))
+    payload = eng.retrieve_tile_handoff_async(
+        jnp.asarray(qt), jnp.asarray(qv), bucket, topk=12)
+    s1, r1, need = SegsortEngine.finalize_handoff(payload)
+    np.testing.assert_array_equal(r1, r0)
+    np.testing.assert_array_equal(s1, s0)
+    np.testing.assert_array_equal(need, eng.job_need(qt, qv))
+    # f32 handoff over the dequantized values agrees too (pow2 scales)
+    f32 = SegsortEngine(idx, topk=12, query_terms_budget=8, fetch="dma",
+                        packed_read=False)
+    p2 = f32.retrieve_tile_handoff_async(
+        jnp.asarray(qt), jnp.asarray(qv),
+        bucket_jobs(int(f32.job_need(qt, qv).max())), topk=12)
+    s2, r2, need2 = SegsortEngine.finalize_handoff(p2)
+    np.testing.assert_array_equal(r2, r0)
+    np.testing.assert_array_equal(s2, s0)
+    np.testing.assert_array_equal(need2, need)
+
+
 def test_q8_job_need_matches_f32_geometry():
     idx = _index(pow2_scales=True)
     f32 = SegsortEngine(idx, topk=10, query_terms_budget=8, fetch="dma")
