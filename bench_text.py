@@ -114,14 +114,32 @@ def main() -> None:
         rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
         return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
 
+    val_dtype = os.environ.get("SRT_VAL_DTYPE", "f32")
     t0 = time.perf_counter()
     rows_flat = gen_rows()
     _ = int(rows_flat[0])
-    valbits_flat = jnp.full((nnz + CHUNK,), np.float32(1.0).view(np.int32),
-                            jnp.int32)
-    _ = int(valbits_flat[0])
+    if val_dtype == "q8":
+        # 4 B/posting single-word layout — lossless on this all-1.0 index
+        # (code 255 at scale 1/255); the handoff folds the scales on device
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def gen_q8(rows):
+            ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                (ru << jnp.uint32(8)) | jnp.uint32(255), jnp.int32)
+
+        rows_flat = gen_q8(rows_flat)
+        _ = int(rows_flat[0])
+        valbits_flat = np.full(VOCAB, np.float32(1.0) / np.float32(255.0),
+                               np.float32)      # per-term dequant scales
+    else:
+        valbits_flat = jnp.full((nnz + CHUNK,),
+                                np.float32(1.0).view(np.int32), jnp.int32)
+        _ = int(valbits_flat[0])
     offsets = jnp.arange(VOCAB + 1, dtype=jnp.int32) * per_term
-    log(f"index on device in {time.perf_counter()-t0:.0f}s")
+    log(f"index on device in {time.perf_counter()-t0:.0f}s "
+        f"({rows_flat.nbytes / 1e9:.1f} GB, val_dtype={val_dtype})")
 
     # -- 1B sparse encoder (Llama-3.2-1B architecture, random bf16) --------
     config = ModelConfig(
@@ -143,6 +161,7 @@ def main() -> None:
     engine = SegsortEngine(None, topk=TOPK, query_terms_budget=T_SPARSE,
                            device_csr=(rows_flat, valbits_flat,
                                        host_offsets, N_DOCS),
+                           val_dtype=val_dtype,
                            sync_upload=False)
     backend = SparseTileBackend(engine, None, N_DOCS, widths=(8, WIDTH),
                                 t_budget=T_SPARSE, topk=TOPK)
@@ -242,19 +261,20 @@ def main() -> None:
         "value": best,
         "unit": (f"text queries/sec end-to-end (tokenize + 1B on-chip "
                  f"encode + top-{TOPK} retrieval over 8.84M docs / 1.13B "
-                 f"postings, one chip, closed-loop; per-concurrency: "
-                 + json.dumps(results)),
+                 f"postings, val_dtype={val_dtype}, one chip, closed-loop; "
+                 f"per-concurrency: " + json.dumps(results)),
         "vs_baseline": None,
     }
     print(json.dumps(out))
-    artifact = ("BENCH_TEXT.json" if TOPK == 1000
-                else f"BENCH_TEXT_k{TOPK}.json")
+    suffix = "" if val_dtype == "f32" else f"_{val_dtype}"
+    artifact = (f"BENCH_TEXT{suffix}.json" if TOPK == 1000
+                else f"BENCH_TEXT_k{TOPK}{suffix}.json")
     with open(artifact, "w") as f:
         json.dump({"results": results, "frontend": fs, "topk": TOPK,
                    "encode_pad_read_kb": PAD_READ_KB,
                    "length_rungs": list(LENGTH_RUNGS),
                    "bucket_headroom": BUCKET_HEADROOM,
-                   "pipeline_depth": DEPTH,
+                   "pipeline_depth": DEPTH, "val_dtype": val_dtype,
                    "warmup_s": warm_s}, f, indent=1)
 
 

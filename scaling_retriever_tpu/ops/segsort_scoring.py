@@ -978,15 +978,15 @@ class ShardedSegsortEngine:
         return in_flight, topk
 
     def finalize(self, payload) -> tuple[np.ndarray, np.ndarray]:
-        """Host-side k-way merge of the per-shard top-k lists."""
+        """Host-side k-way merge of the per-shard top-k lists. Each shard's
+        payload resolves through ITS engine's finalize, so per-shard packed
+        small-k reads (one >= 512 KB buffer instead of two RPC-floor-bound
+        tiny reads) apply transparently here."""
         in_flight, topk = payload
         all_scores, all_rows = [], []
-        for (s_dev, r_dev, total, p_budget), eng, off in zip(
-                in_flight, self.shards, self.row_offsets):
-            if total is not None:
-                assert int(np.asarray(total).max()) <= p_budget
-            s = np.asarray(s_dev, np.float32)
-            r = np.asarray(r_dev)
+        for flight, eng, off in zip(in_flight, self.shards,
+                                    self.row_offsets):
+            s, r = eng.finalize(flight)
             valid = np.isfinite(s) & (r < eng.n_docs)
             all_scores.append(np.where(valid, s, -np.inf))
             all_rows.append(np.where(valid, r + off, self.n_docs))
