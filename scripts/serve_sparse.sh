@@ -10,14 +10,19 @@
 #                            will hit (a cold variant costs 10-140 s
 #                            mid-request on a remote-compile backend)
 #   TOPK=1000 WIDTHS=8,64    result depth; tile width ladder
+#   VAL_DTYPE=f32            posting value layout: bf16 (6 B/posting) or
+#                            q8 (4 B/posting — halves index HBM; exact
+#                            over the 8-bit per-term-scaled codes)
 set -euo pipefail
 
 INDEX_DIR=${INDEX_DIR:?set INDEX_DIR to the inverted-index directory}
 PORT=${PORT:-8080}
 TOPK=${TOPK:-1000}
 WIDTHS=${WIDTHS:-8,64}
+VAL_DTYPE=${VAL_DTYPE:-f32}
 
-ARGS=(--index_dir "$INDEX_DIR" --port "$PORT" --topk "$TOPK" --widths "$WIDTHS")
+ARGS=(--index_dir "$INDEX_DIR" --port "$PORT" --topk "$TOPK" --widths "$WIDTHS"
+      --val_dtype "$VAL_DTYPE")
 if [[ -n "${WARMUP_NPZ:-}" ]]; then
   ARGS+=(--warmup_queries "$WARMUP_NPZ")
 fi
