@@ -145,6 +145,77 @@ def main() -> None:
         f"certified {n_cert}/{nq_total}); "
         f"sample top score {s0[0,0]:.4f} @ row {r0[0,0]}")
 
+    # ---- int8 capacity rung (VERDICT r4 #3: the dense mirror of the q8
+    # sparse layout): per-doc symmetric codes + f32 scales = 1 B/dim (half
+    # of bf16, double the docs/chip); the s8 x s8 -> s32 MXU dot is EXACT
+    # over the codes. Same-run A/B over the identical embedding matrix and
+    # query stream. Codes are built ON DEVICE (an 8.6 GB host round trip
+    # through the ~0.06-0.5 GB/s tunnel would dwarf the bench).
+    @jax.jit
+    def quantize_docs(d):
+        # chunked: a whole-matrix f32 cast would be a 17 GB temporary
+        # (CLAUDE.md >200 MB single-temporary rule)
+        def one(blk):
+            f = blk.astype(jnp.float32)
+            sc = jnp.maximum(jnp.abs(f).max(axis=1) / 127.0, 1e-30)
+            return jnp.rint(f / sc[:, None]).astype(jnp.int8), sc
+
+        c, sc = jax.lax.map(one, d.reshape(-1, CHUNK // 8, D))
+        return c.reshape(N_DOCS, D), sc.reshape(N_DOCS)
+
+    t0 = time.perf_counter()
+    codes, dscales = quantize_docs(docs)
+    _ = np.asarray(codes[0, :1])
+    log(f"int8 codes on device in {time.perf_counter()-t0:.0f}s "
+        f"({codes.nbytes/1e9:.1f} GB + scales)")
+
+    def q_int8(q_bf16):
+        q = np.asarray(q_bf16, np.float32)
+        qs = np.maximum(np.abs(q).max(axis=1) / 127.0, 1e-30).astype(np.float32)
+        return (jnp.asarray(np.rint(q / qs[:, None]).astype(np.int8)),
+                jnp.asarray(qs))
+
+    tiles8 = [q_int8(q) for q in tiles]
+
+    def dispatch8(qq):
+        qc, qs = qq
+        s, r, ok = _search_chunked_blocked(codes, qc, k=TOPK, chunk=CHUNK,
+                                           topm="pallas", doc_scales=dscales,
+                                           q_scale=qs)
+        return jnp.concatenate([s, ok[:, None].astype(jnp.float32)], 1), r
+
+    log("compiling int8 ...")
+    t0 = time.perf_counter()
+    s8, r8 = dispatch8(tiles8[0])
+    packed8 = np.asarray(s8, np.float32)
+    s80, ok80 = packed8[:, :-1], packed8[:, -1] > 0.5
+    r80 = np.asarray(r8)
+    assert bool(ok80.all()), "int8 certificate failed"
+    log(f"int8 compile+first: {time.perf_counter()-t0:.1f}s (certified all)")
+    # ranking drift vs the bf16 arm on tile 0 (positional sets, matched ids)
+    overlap = float(np.mean([
+        len(np.intersect1d(r0[i], r80[i])) / TOPK for i in range(TILE)]))
+    log(f"int8 vs bf16 top-{TOPK} row overlap: {overlap:.1%}")
+
+    for _ in range(3):
+        p = dispatch8(tiles8[0])
+        _ = np.asarray(p[0])
+    t0 = time.perf_counter()
+    n_cert8 = 0
+
+    def drain8(p):
+        nonlocal n_cert8
+        packed = np.asarray(p[0]); _ = np.asarray(p[1])
+        n_cert8 += int((packed[:, -1] > 0.5).sum())
+
+    depth2_pipeline(tiles8[1:], dispatch8, drain8)
+    dt8 = time.perf_counter() - t0
+    assert n_cert8 == TILE * N_TILES_TIMED, f"int8 uncertified ({n_cert8})"
+    qps8 = nq_total / dt8
+    log(f"int8: {nq_total} queries in {dt8:.2f}s -> {qps8:.1f} QPS "
+        f"(x{qps8/qps:.2f} vs bf16 {qps:.1f} same-run; "
+        f"{codes.nbytes/1e9:.1f} vs {docs.nbytes/1e9:.1f} GB)")
+
     # host-BLAS baseline (the faiss-cpu exact-scan shape) on this host
     docs_cpu = rng.standard_normal((CPU_SLICE, D)).astype(np.float32)
     q_cpu = np.asarray(tiles[1], np.float32)[:64]
@@ -163,6 +234,13 @@ def main() -> None:
                  f"doc-sharded over ~5 chips; host-BLAS exact scan on this "
                  f"machine: {qps_cpu:.1f} QPS)"),
         "vs_baseline": round(qps / max(qps_cpu, 1e-9), 1),
+        "arms": {
+            "bf16": {"qps": round(qps, 1), "gb": round(docs.nbytes / 1e9, 1)},
+            "int8": {"qps": round(qps8, 1),
+                     "gb": round(codes.nbytes / 1e9, 1),
+                     "x_vs_bf16": round(qps8 / qps, 2),
+                     "top1000_overlap_vs_bf16": round(overlap, 4)},
+        },
     }))
 
 

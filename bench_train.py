@@ -18,6 +18,10 @@ Flags (VERDICT r2 #4 — stage breakdown + remat/batch exploration):
                        outputs saved, elementwise recomputed; dots_nb =
                        dots_with_no_batch_dims_saveable)
   --bz N               queries per micro batch (contexts scale with it)
+  --model {1b,3b,8b}   real published Llama widths (VERDICT r4 #1 — the
+                       reference trains 1B/3B/8B; 3B ~6.4 GB bf16 params
+                       fits one v5e next to full-remat activations, 8B
+                       needs the FSDP mesh — SHARD_PROOF.json)
 
 Prints one JSON line (a PERFORMANCE.md row, not the driver headline).
 """
@@ -64,6 +68,22 @@ REMAT = {"full": True, "none": False,
          "attn": "names:attn_q,attn_k,attn_v,attn_out",
          "attn_mlp": "names:attn_q,attn_k,attn_v,attn_out,mlp_mid"}
 
+# Real published widths (HF config.json of each checkpoint; matches
+# scripts/shard_proof.py CONFIGS — reference trains all three:
+# /root/reference/scripts/msmarco/llama_{1b,8b}_*_train_*.sh).
+MODELS = {
+    "1b": dict(vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+               num_hidden_layers=16, num_attention_heads=32,
+               num_key_value_heads=8, head_dim=64, tie_word_embeddings=True),
+    "3b": dict(vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+               num_hidden_layers=28, num_attention_heads=24,
+               num_key_value_heads=8, head_dim=128, tie_word_embeddings=True),
+    "8b": dict(vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+               num_hidden_layers=32, num_attention_heads=32,
+               num_key_value_heads=8, head_dim=128,
+               tie_word_embeddings=False),
+}
+
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
@@ -89,23 +109,27 @@ def main():
     ap.add_argument("--breakdown", action="store_true")
     ap.add_argument("--remat", default="full", choices=sorted(REMAT))
     ap.add_argument("--bz", type=int, default=8)
+    ap.add_argument("--model", default="1b", choices=sorted(MODELS))
     cli = ap.parse_args()
     bz = cli.bz
 
-    log(f"devices: {jax.devices()}; remat={cli.remat} bz={bz}")
+    log(f"devices: {jax.devices()}; model={cli.model} remat={cli.remat} "
+        f"bz={bz}")
     config = ModelConfig(
-        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
-        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
-        head_dim=64, rope_theta=500000.0, tie_word_embeddings=True,
-        max_position_embeddings=131072,
+        rope_theta=500000.0, max_position_embeddings=131072,
         rope_scaling={"rope_type": "llama3", "factor": 32.0,
                       "low_freq_factor": 1.0, "high_freq_factor": 4.0,
                       "original_max_position_embeddings": 8192},
-        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=REMAT[cli.remat])
+        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=REMAT[cli.remat],
+        **MODELS[cli.model])
     t0 = time.perf_counter()
     params = llama.init_params(config, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    log(f"1B params initialized on device in {time.perf_counter()-t0:.0f}s")
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    log(f"{cli.model} params ({n_params/1e9:.2f}B, "
+        f"{n_params*2/2**30:.1f} GB bf16) initialized on device in "
+        f"{time.perf_counter()-t0:.0f}s")
 
     args = LLM2RetrieverTrainingArgs(
         output_dir="/tmp/bench_train", max_steps=STEPS, logging_steps=10**9,
@@ -182,7 +206,6 @@ def main():
         _ = float(metrics["loss"])  # per-step host read (timing honesty)
     dt = (time.perf_counter() - t0) / STEPS
     tokens = n_ctx * D_LEN + bz * Q_LEN
-    n_params = 1.24e9
     # fwd 2*P FLOP/token; backward to LoRA still differentiates through the
     # frozen stack: ~2x fwd for activation grads (no weight-grad matmuls)
     tflops = 3 * 2 * n_params * tokens / dt / 1e12
@@ -198,7 +221,7 @@ def main():
         f"(1050 opt steps @ eff. 512) ~= {epoch_h:.1f} h on ONE v5e chip")
 
     print(json.dumps({
-        "metric": "train_step_ms_llama1b_lora_nce",
+        "metric": f"train_step_ms_llama{cli.model}_lora_nce",
         "value": round(dt * 1e3, 1),
         "unit": (f"ms per micro step (bz {bz} x (1+{N_NEGS}) ctx, q{Q_LEN}/"
                  f"d{D_LEN}, bf16 remat={cli.remat}, LoRA r16, 1 v5e chip; "

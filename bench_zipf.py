@@ -422,13 +422,22 @@ def main() -> None:
         qps_q8 = n_seg_q / dt_q8
         results["segsort_q8_qps"] = qps_q8
         # quantization drift on the last tile: overlap of top-k rows + max
-        # relative score drift among rows both arms retained
+        # relative score drift among rows both arms retained — rows are
+        # MATCHED BY DOC ID per query (intersect1d indices), not by rank
+        # position: quantization reorders the tail, so rank i can hold
+        # different documents in the two arms (ADVICE r4)
         r_f, r_q = r_seg0, last["r"]
         s_f, s_q = s_seg0, last["s"]
-        overlap = float(np.mean([
-            len(np.intersect1d(r_f[i], r_q[i])) / r_f.shape[1]
-            for i in range(r_f.shape[0])]))
-        drift = float(np.max(np.abs(s_q - s_f) / np.maximum(s_f, 1e-9)))
+        overlap_n, drift = 0, 0.0
+        for i in range(r_f.shape[0]):
+            _, if_, iq_ = np.intersect1d(r_f[i], r_q[i],
+                                         return_indices=True)
+            overlap_n += if_.size
+            if if_.size:
+                d = np.abs(s_q[i, iq_] - s_f[i, if_]) / np.maximum(
+                    s_f[i, if_], 1e-9)
+                drift = max(drift, float(d.max()))
+        overlap = overlap_n / (r_f.shape[0] * r_f.shape[1])
         results["q8_topk_row_overlap"] = overlap
         results["q8_score_drift_max_rel"] = drift
         log(f"segsort-q8 (same stream): {qps_q8:.1f} QPS "

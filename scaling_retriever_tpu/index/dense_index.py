@@ -24,11 +24,55 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def quantize_embeddings_int8(vectors: np.ndarray
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc symmetric int8 quantization: codes = round(v / s), s =
+    max|v| / 127 (the dense mirror of the sparse q8 posting layout —
+    PERFORMANCE.md "q8 single-word posting layout"). Returns (codes int8
+    [N, D], scales f32 [N]). Zero rows get scale 1 (all-zero codes).
+
+    Why int8 and not bf16: the v5e MXU runs s8 x s8 -> s32 dots natively,
+    the int32 accumulation is EXACT over the codes (no bf16 rounding in
+    the reduction), and the embedding matrix halves to 1 B/dim — the same
+    capacity economics the q8 sparse rung proved (x2 docs/chip)."""
+    v = np.asarray(vectors, np.float32)
+    scales = (np.abs(v).max(axis=1) / 127.0).astype(np.float32)
+    scales = np.where(scales > 0, scales, np.float32(1.0))
+    codes = np.rint(v / scales[:, None]).astype(np.int8)
+    return codes, scales
+
+
+def _quantize_queries_int8(q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query symmetric int8: (codes int8 [nq, D], scales f32 [nq])."""
+    q = np.asarray(q, np.float32)
+    qs = (np.abs(q).max(axis=1) / 127.0).astype(np.float32)
+    qs = np.where(qs > 0, qs, np.float32(1.0))
+    return np.rint(q / qs[:, None]).astype(np.int8), qs
+
+
+def _score_slab(queries: jax.Array, blk: jax.Array, q_scale, blk_scales
+                ) -> jax.Array:
+    """[nq, chunk] f32 score slab for one doc chunk. f32/bf16 path: one
+    MXU matmul with f32 accumulation. int8 path (scales present): s8 x s8
+    -> s32 MXU dot (exact over codes; |dot| <= 127*127*D < 2^25 at D=2048,
+    so the f32 cast below is exact too), then the rank-1 scale outer
+    product folds in f32 — bit-reproducible on host with the same op
+    order (tests pin it)."""
+    if blk_scales is None:
+        return jnp.einsum("qd,cd->qc", queries, blk,
+                          preferred_element_type=jnp.float32)
+    s = jnp.einsum("qd,cd->qc", queries, blk,
+                   preferred_element_type=jnp.int32)
+    return s.astype(jnp.float32) * (q_scale[:, None] * blk_scales[None, :])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk", "m", "block", "topm"))
 def _search_chunked_blocked(docs: jax.Array, queries: jax.Array, k: int,
                             chunk: int = 262144, m: int = 32,
-                            block: int = 4096, topm: str = "xla"
+                            block: int = 4096, topm: str = "xla",
+                            doc_scales: Optional[jax.Array] = None,
+                            q_scale: Optional[jax.Array] = None
                             ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Exact-when-certified IP top-k with block-local selection.
 
@@ -55,12 +99,13 @@ def _search_chunked_blocked(docs: jax.Array, queries: jax.Array, k: int,
     nb = n // chunk
     nblk = chunk // block
     blocks = docs.reshape(nb, chunk, d)
+    scale_blocks = (None if doc_scales is None
+                    else doc_scales.reshape(nb, chunk))
 
     def body(carry, xs):
         top_s, top_i, max_bm = carry
-        blk, blk_idx = xs
-        s = jnp.einsum("qd,cd->qc", queries, blk,
-                       preferred_element_type=jnp.float32)
+        blk, blk_scales, blk_idx = xs
+        s = _score_slab(queries, blk, q_scale, blk_scales)
         if topm == "xla":
             s3 = s.reshape(nq, nblk, block)
             bv, bi = jax.lax.top_k(s3, m)                  # [nq, nblk, m]
@@ -88,26 +133,32 @@ def _search_chunked_blocked(docs: jax.Array, queries: jax.Array, k: int,
             jnp.full((nq, k), -1, jnp.int32),
             jnp.full((nq,), -jnp.inf, jnp.float32))
     (scores, rows, max_bm), _ = jax.lax.scan(
-        body, init, (blocks, jnp.arange(nb, dtype=jnp.int32)))
+        body, init, (blocks, scale_blocks, jnp.arange(nb, dtype=jnp.int32)))
     ok = max_bm < scores[:, k - 1]
     return scores, rows, ok
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def _search_chunked(docs: jax.Array, queries: jax.Array, k: int,
-                    chunk: int = 262144) -> tuple[jax.Array, jax.Array]:
+                    chunk: int = 262144,
+                    doc_scales: Optional[jax.Array] = None,
+                    q_scale: Optional[jax.Array] = None
+                    ) -> tuple[jax.Array, jax.Array]:
     """Exact IP top-k: docs [N, D] (N multiple of chunk), queries [nq, D].
+    With ``doc_scales``/``q_scale`` (int8 layout) the slab is the exact
+    s32 dot over the codes, scale-folded in f32 (see _score_slab).
     Returns (scores [nq, k], rows [nq, k])."""
     n, d = docs.shape
     nq = queries.shape[0]
     nb = n // chunk
     blocks = docs.reshape(nb, chunk, d)
+    scale_blocks = (None if doc_scales is None
+                    else doc_scales.reshape(nb, chunk))
 
     def body(carry, xs):
         top_s, top_i = carry
-        blk, blk_idx = xs
-        s = jnp.einsum("qd,cd->qc", queries, blk,
-                       preferred_element_type=jnp.float32)
+        blk, blk_scales, blk_idx = xs
+        s = _score_slab(queries, blk, q_scale, blk_scales)
         rows = blk_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (nq, chunk), 1)
         cat_s = jnp.concatenate([top_s, s], axis=1)
         cat_i = jnp.concatenate([top_i, rows], axis=1)
@@ -117,8 +168,8 @@ def _search_chunked(docs: jax.Array, queries: jax.Array, k: int,
 
     init = (jnp.full((nq, k), -jnp.inf, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32))
-    (scores, rows), _ = jax.lax.scan(body, init,
-                                     (blocks, jnp.arange(nb, dtype=jnp.int32)))
+    (scores, rows), _ = jax.lax.scan(
+        body, init, (blocks, scale_blocks, jnp.arange(nb, dtype=jnp.int32)))
     return scores, rows
 
 
@@ -196,7 +247,8 @@ class DenseFlatIndexer(DenseIndexer):
     def __init__(self, buffer_size: int = 50000, dtype=jnp.bfloat16,
                  chunk: int = 262144, query_tile: int = 256,
                  selection: str = "auto", block_m: int = 32,
-                 sel_block: int = 4096, topm: str = "auto"):
+                 sel_block: int = 4096, topm: str = "auto",
+                 quantize: Optional[str] = None):
         super().__init__(buffer_size)
         self._vectors: List[np.ndarray] = []
         self._n = 0
@@ -219,8 +271,17 @@ class DenseFlatIndexer(DenseIndexer):
         # interpret-mode Pallas would crawl; "xla"/"pallas"/
         # "pallas_interpret" force a choice (tests pin bit-parity)
         self.topm = topm
+        # "int8": per-doc symmetric int8 codes + f32 scales on device
+        # (1 B/dim — half of bf16, double the docs/chip; the dense mirror
+        # of the sparse q8 rung). Search is EXACT over the codes (s32 MXU
+        # accumulation); lossy only through the embedding quantization
+        # itself. A load-time layout choice, like sparse q8 — serialize()
+        # still writes f32.
+        assert quantize in (None, "int8"), quantize
+        self.quantize = quantize
         self.fallbacks = 0
         self._device_docs: Optional[jax.Array] = None
+        self._device_scales: Optional[jax.Array] = None
 
     def init_index(self, vector_sz: int):
         self.vector_sz = vector_sz
@@ -229,6 +290,7 @@ class DenseFlatIndexer(DenseIndexer):
         self.index_id_to_db_id = []
         self._id_map_np = None
         self._device_docs = None
+        self._device_scales = None
 
     @property
     def ntotal(self) -> int:
@@ -244,12 +306,14 @@ class DenseFlatIndexer(DenseIndexer):
             self._n += len(db_ids)
             self._update_id_mapping(db_ids)
         self._device_docs = None
+        self._device_scales = None
 
     def add_batch(self, db_ids: Sequence, vectors: np.ndarray):
         self._vectors.append(np.asarray(vectors, np.float32))
         self._n += len(db_ids)
         self._update_id_mapping(list(db_ids))
         self._device_docs = None
+        self._device_scales = None
 
     def _materialize(self) -> jax.Array:
         if self._device_docs is None:
@@ -259,7 +323,12 @@ class DenseFlatIndexer(DenseIndexer):
             n_pad = max(self.chunk, -(-n // self.chunk) * self.chunk) if n else self.chunk
             if n_pad != n:
                 docs = np.pad(docs, ((0, n_pad - n), (0, 0)))
-            self._device_docs = jnp.asarray(docs, self.dtype)
+            if self.quantize == "int8":
+                codes, scales = quantize_embeddings_int8(docs)
+                self._device_docs = jnp.asarray(codes)
+                self._device_scales = jnp.asarray(scales)
+            else:
+                self._device_docs = jnp.asarray(docs, self.dtype)
             from scaling_retriever_tpu.utils.utils import force_materialized
 
             # puts are async on this backend; without a barrier the multi-GB
@@ -291,7 +360,7 @@ class DenseFlatIndexer(DenseIndexer):
         # the id mapping + list build runs once after the pipeline
         tiles: List[Tuple[np.ndarray, np.ndarray, int]] = []
 
-        def _drain(payload, q_dev, n_real):
+        def _drain(payload, q_dev, qs_dev, n_real):
             if blocked:
                 packed_d, rows_d = payload
                 packed = np.asarray(packed_d, np.float32)
@@ -304,8 +373,9 @@ class DenseFlatIndexer(DenseIndexer):
                     # direct path (certificate failures need score mass
                     # concentrated in one 4096-doc block — rare by layout)
                     self.fallbacks += 1
-                    scores_d, rows_d = _search_chunked(docs, q_dev, k=k,
-                                                       chunk=self.chunk)
+                    scores_d, rows_d = _search_chunked(
+                        docs, q_dev, k=k, chunk=self.chunk,
+                        doc_scales=self._device_scales, q_scale=qs_dev)
                     tiles.append((np.asarray(scores_d, np.float32),
                                   np.asarray(rows_d), n_real))
                     return
@@ -320,7 +390,11 @@ class DenseFlatIndexer(DenseIndexer):
             n_real = q_tile.shape[0]
             if nq > tile and n_real < tile:
                 q_tile = np.pad(q_tile, ((0, tile - n_real), (0, 0)))
-            q_dev = jnp.asarray(q_tile, self.dtype)
+            if self.quantize == "int8":
+                q_codes, q_s = _quantize_queries_int8(q_tile)
+                q_dev, qs_dev = jnp.asarray(q_codes), jnp.asarray(q_s)
+            else:
+                q_dev, qs_dev = jnp.asarray(q_tile, self.dtype), None
             if blocked:
                 topm = self.topm
                 if topm == "auto":
@@ -332,7 +406,8 @@ class DenseFlatIndexer(DenseIndexer):
                             and self.block_m <= 128 else "xla")
                 scores_d, rows_d, ok_d = _search_chunked_blocked(
                     docs, q_dev, k=k, chunk=self.chunk, m=self.block_m,
-                    block=self.sel_block, topm=topm)
+                    block=self.sel_block, topm=topm,
+                    doc_scales=self._device_scales, q_scale=qs_dev)
                 # pack the [nq] certificate into the score transfer: a
                 # separate SMALL-buffer read per tile pays the ~28 ms
                 # per-call RPC floor on this backend (the same sink that
@@ -342,8 +417,10 @@ class DenseFlatIndexer(DenseIndexer):
                     [scores_d, ok_d[:, None].astype(jnp.float32)], axis=1),
                     rows_d)
             else:
-                payload = _search_chunked(docs, q_dev, k=k, chunk=self.chunk)
-            return payload, q_dev, n_real
+                payload = _search_chunked(docs, q_dev, k=k, chunk=self.chunk,
+                                          doc_scales=self._device_scales,
+                                          q_scale=qs_dev)
+            return payload, q_dev, qs_dev, n_real
 
         from scaling_retriever_tpu.utils.utils import depth2_pipeline
 

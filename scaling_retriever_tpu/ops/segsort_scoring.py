@@ -507,8 +507,7 @@ def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
       CLAUDE.md). ``pad_cols`` > 2k+1 zero-pads the result so a SMALL-k
       read (top-10: 5 KB) still rides the transfer path instead of the
       per-read RPC floor — same fix as SegsortEngine's packed_read."""
-    from scaling_retriever_tpu.ops.pallas_fetch import (ALIGN, CHUNK,
-                                                        fetch_postings_dma)
+    from scaling_retriever_tpu.ops.pallas_fetch import fetch_postings_dma
 
     T = q_terms.shape[1]
     q_terms, neg_vals = jax.lax.sort(
@@ -517,13 +516,26 @@ def segsort_retrieve_dma_packed(rows_flat: jax.Array, valbits_flat: jax.Array,
     rows, vals, qw, valid = fetch_postings_dma(
         rows_flat, valbits_flat, q_terms, offsets, q_vals, jobs_per_query,
         interpret=interpret)
+    return _packed_handoff_tail(rows, vals, qw, valid, offsets, q_terms,
+                                q_vals, k, T, n_docs, interpret, pad_cols)
+
+
+def _packed_handoff_tail(rows, vals, qw, valid, offsets, q_terms, q_vals,
+                         k: int, T: int, n_docs: int, interpret: bool,
+                         pad_cols: int) -> jax.Array:
+    """Shared post-fetch tail of the two device-handoff programs (f32 and
+    q8): rank tail, on-device true job-need arithmetic (the host
+    ``job_need()``'s twin), and the single packed (score bits | rows |
+    need) result assembly + pad. Factored so a fix to the need formula or
+    the packing cannot silently miss one twin (ADVICE r4)."""
+    from scaling_retriever_tpu.ops.pallas_fetch import ALIGN, CHUNK
+
     sentinel = jnp.int32(n_docs)
     contrib = jnp.where(valid, vals * qw, 0.0)
     rows = jnp.where(valid, rows, sentinel)
     top_scores, top_rows = _rank_tail(
         rows, contrib, sentinel, k, T,
         topm="pallas_interpret" if interpret else "pallas")
-    # true per-query job need, same arithmetic as the host job_need()
     lens = ((offsets[q_terms + 1] - offsets[q_terms])
             * (q_vals > 0)).astype(jnp.int32)
     starts = offsets[q_terms].astype(jnp.int32)
@@ -555,8 +567,7 @@ def segsort_retrieve_dma_packed_q8(packed_flat: jax.Array,
     handoff. Job-need packing and the padded single (score bits | rows |
     need) read match the f32 packed program; the fetch rides
     ``fetch_postings_dma_q8`` (ONE DMA stream, f32 CHUNK geometry)."""
-    from scaling_retriever_tpu.ops.pallas_fetch import (
-        ALIGN, CHUNK, fetch_postings_dma_q8)
+    from scaling_retriever_tpu.ops.pallas_fetch import fetch_postings_dma_q8
 
     T = q_terms.shape[1]
     # device-side dequant fold: contrib below is then folded-qw * code,
@@ -568,25 +579,8 @@ def segsort_retrieve_dma_packed_q8(packed_flat: jax.Array,
     rows, vals, qw, valid = fetch_postings_dma_q8(
         packed_flat, q_terms, offsets, q_vals, jobs_per_query,
         interpret=interpret)
-    sentinel = jnp.int32(n_docs)
-    contrib = jnp.where(valid, vals * qw, 0.0)
-    rows = jnp.where(valid, rows, sentinel)
-    top_scores, top_rows = _rank_tail(
-        rows, contrib, sentinel, k, T,
-        topm="pallas_interpret" if interpret else "pallas")
-    # true per-query job need, same arithmetic as the host job_need()
-    lens = ((offsets[q_terms + 1] - offsets[q_terms])
-            * (q_vals > 0)).astype(jnp.int32)
-    starts = offsets[q_terms].astype(jnp.int32)
-    head = starts - (starts // ALIGN) * ALIGN
-    need = jnp.where(lens > 0, -(-(head + lens) // CHUNK), 0).sum(
-        axis=1, dtype=jnp.int32)
-    buf = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(top_scores, jnp.int32), top_rows,
-         need[:, None]], axis=1)
-    if pad_cols > buf.shape[1]:
-        buf = jnp.pad(buf, ((0, 0), (0, pad_cols - buf.shape[1])))
-    return buf
+    return _packed_handoff_tail(rows, vals, qw, valid, offsets, q_terms,
+                                q_vals, k, T, n_docs, interpret, pad_cols)
 
 
 # per-buffer read size below which the small-read RPC floor dominates:
@@ -816,7 +810,14 @@ class SegsortEngine:
             pad_cols = max(2 * k + 1, -(-self.pack_pad_bytes // (4 * nq)))
         if self.val_dtype == "q8":
             if self._scales_dev is None:
-                self._scales_dev = jnp.asarray(self._host_scales)
+                # place the scales NEXT TO the index buffers, not on the
+                # JAX default device — a sharded engine's shards commit
+                # their index under jax.default_device and a default-placed
+                # [V] would hand the jitted program mixed-device inputs
+                # (latent today: only the single-engine text frontend calls
+                # this; ADVICE r4)
+                self._scales_dev = jax.device_put(
+                    self._host_scales, next(iter(self.rows_flat.devices())))
             buf = segsort_retrieve_dma_packed_q8(
                 self.rows_flat, self._scales_dev, self.offsets,
                 q_terms_dev, q_vals_dev, k=k, jobs_per_query=jobs_per_query,

@@ -918,3 +918,94 @@ def test_dense_blocked_pallas_topm_bit_equal():
     np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_p))
     np.testing.assert_array_equal(np.asarray(r_x), np.asarray(r_p))
     np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+
+
+def test_dense_int8_exact_over_codes_and_ranking():
+    """int8 dense rung (VERDICT r4 #3): scores are EXACTLY the s32 dot over
+    the stored codes scale-folded in f32 (host oracle mirrors the op
+    order), and the ranking over well-separated embeddings matches the f32
+    search. Direct (unblocked) path: chunk 64 < sel_block disables the
+    certificate machinery."""
+    from scaling_retriever_tpu.index.dense_index import (
+        _quantize_queries_int8, quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d, nq, k = 512, 32, 5, 9
+    docs = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    ids = [f"doc{i}" for i in range(n)]
+
+    indexer = DenseFlatIndexer(chunk=64, quantize="int8")
+    indexer.init_index(d)
+    indexer.index_data(list(zip(ids, docs)))
+    results = indexer.search_knn(queries, k)
+
+    codes, sd = quantize_embeddings_int8(docs)
+    qc, qs = _quantize_queries_int8(queries)
+    int_s = qc.astype(np.int32) @ codes.astype(np.int32).T
+    want = int_s.astype(np.float32) * (qs[:, None] * sd[None, :])
+    want_f32 = queries @ docs.T
+    for qi, (db_ids, scores) in enumerate(results):
+        order = np.argsort(-want[qi], kind="stable")[:k]
+        np.testing.assert_allclose(scores, want[qi][order], rtol=1e-6)
+        # quantization-lossy vs the original f32 ranking, but bounded:
+        # per-component error <= 1/254 relative, so the top-k sets at this
+        # scale agree except for near-ties
+        f32_top = set(np.argsort(-want_f32[qi], kind="stable")[:k])
+        got_rows = set(int(x[3:]) for x in db_ids)
+        assert len(got_rows & f32_top) >= k - 2, (qi, got_rows, f32_top)
+
+
+def test_dense_int8_blocked_matches_direct():
+    """Blocked certified selection over the int8 layout returns the direct
+    path's exact scores/rows on certified rows (same guarantee as f32)."""
+    from scaling_retriever_tpu.index.dense_index import (
+        _quantize_queries_int8, _search_chunked, _search_chunked_blocked,
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(32)
+    n, d, nq, k = 1024, 16, 4, 8
+    docs = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    codes, sd = quantize_embeddings_int8(docs)
+    qc, qs = _quantize_queries_int8(queries)
+    cd, sdd = jnp.asarray(codes), jnp.asarray(sd)
+    qd, qsd = jnp.asarray(qc), jnp.asarray(qs)
+    s0, r0 = _search_chunked(cd, qd, k=k, chunk=256,
+                             doc_scales=sdd, q_scale=qsd)
+    s1, r1, ok = _search_chunked_blocked(
+        cd, qd, k=k, chunk=256, m=16, block=64, topm="xla",
+        doc_scales=sdd, q_scale=qsd)
+    ok = np.asarray(ok)
+    assert ok.any()
+    np.testing.assert_allclose(np.asarray(s1)[ok], np.asarray(s0)[ok],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r1)[ok], np.asarray(r0)[ok])
+
+
+def test_dense_int8_indexer_blocked_path():
+    """Indexer-level blocked int8 (selection='auto' with a cleanly tiling
+    sel_block): certified-or-fallback results equal the code-exact oracle."""
+    from scaling_retriever_tpu.index.dense_index import (
+        _quantize_queries_int8, quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(33)
+    n, d, nq, k = 2048, 16, 6, 12
+    docs = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    ids = [f"doc{i}" for i in range(n)]
+    indexer = DenseFlatIndexer(chunk=512, sel_block=64, block_m=16,
+                               topm="xla", quantize="int8")
+    indexer.init_index(d)
+    indexer.index_data(list(zip(ids, docs)))
+    results = indexer.search_knn(queries, k)
+    codes, sd = quantize_embeddings_int8(docs)
+    qc, qs = _quantize_queries_int8(queries)
+    want = (qc.astype(np.int32) @ codes.astype(np.int32).T
+            ).astype(np.float32) * (qs[:, None] * sd[None, :])
+    for qi, (db_ids, scores) in enumerate(results):
+        order = np.argsort(-want[qi], kind="stable")[:k]
+        np.testing.assert_allclose(scores, want[qi][order], rtol=1e-6)
