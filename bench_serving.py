@@ -18,9 +18,17 @@ regimes:
   the device number).
 
 Same on-device uniform index construction as bench.py (host link is too
-slow to upload a 9 GB CSR). Prints one JSON line.
+slow to upload a 9 GB CSR). BOTH value layouts run in ONE invocation
+(VERDICT r4 #6: the round-4 f32/q8 pair was measured in separate windows
+across a backend-drift day and read as a regression): the f32 ladder runs
+first, the rows buffer then DONATES into the q8 packed words (values are
+1.0 here, so code 255 at scale 1/255 is lossless) and the q8 ladder runs
+minutes later in the same window. Prints one JSON line; writes
+BENCH_SERVING[_k{K}].json with both arms (and refreshes the q8-suffixed
+artifact).
 """
 
+import functools
 import json
 import os
 import sys
@@ -57,73 +65,22 @@ CONCURRENCY = tuple(int(c) for c in os.environ.get(
 # formation on 80 ms tiles (round 3); overridable to re-test when tile
 # time or tunnel latency shifts
 PIPE_DEPTH = int(os.environ.get("SRT_BENCH_DEPTH", "2"))
+# which layouts to run: "f32,q8" (default, same-window pair) or a single
+# arm for quick checks
+ARMS = tuple(os.environ.get("SRT_VAL_DTYPE", "f32,q8").split(","))
 
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    log(f"devices: {jax.devices()}")
-    per_term = (N_DOCS * K) // VOCAB
-    nnz = per_term * VOCAB
-
-    @jax.jit
-    def gen_rows():
-        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz + CHUNK, 1), 0)[:, 0]
-        h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
-        rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
-        return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
-
-    val_dtype = os.environ.get("SRT_VAL_DTYPE", "f32")
-    t0 = time.perf_counter()
-    rows_flat = gen_rows()
-    _ = int(rows_flat[0])
-    offsets = np.arange(VOCAB + 1, dtype=np.int64) * per_term
-    if val_dtype == "q8":
-        # q8 single-word layout (4 B/posting — half the f32 HBM): values
-        # are 1.0 on this index so code 255 at per-term scale 1/255 is
-        # LOSSLESS; the rows buffer donates into the packed words
-        import functools
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def gen_q8(rows):
-            ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
-            return jax.lax.bitcast_convert_type(
-                (ru << jnp.uint32(8)) | jnp.uint32(255), jnp.int32)
-
-        rows_flat = gen_q8(rows_flat)
-        _ = int(rows_flat[0])
-        valbits_flat = np.full(VOCAB, np.float32(1.0) / np.float32(255.0),
-                               np.float32)      # per-term dequant scales
-    else:
-        valbits_flat = jnp.full((nnz + CHUNK,),
-                                np.float32(1.0).view(np.int32), jnp.int32)
-        _ = int(valbits_flat[0])
-    log(f"index on device in {time.perf_counter()-t0:.0f}s "
-        f"({rows_flat.nbytes / 1e9:.1f} GB, val_dtype={val_dtype})")
-
-    # the PRODUCTION engine class over the device-generated CSR (round-4:
-    # replaces a local two-read shim — SegsortEngine's packed small-k read
-    # is what makes top-10 serving viable, and the bench should measure
-    # the class users deploy). SRT_PACKED_READ=0/1 forces the packed-read
-    # A/B; unset = the engine's auto size heuristic.
+def run_ladder(engine, val_dtype: str) -> dict:
     pr_env = os.environ.get("SRT_PACKED_READ")
-    engine = SegsortEngine(None, topk=TOPK, query_terms_budget=T_BUDGET,
-                           device_csr=(rows_flat, valbits_flat, offsets,
-                                       N_DOCS),
-                           val_dtype=val_dtype,
-                           packed_read=None if pr_env is None
-                           else bool(int(pr_env)))
-    # width ladder: isolated requests ride the narrow rung (the per-query
-    # sort has a large fixed component; a 1-query request padded to 64
-    # pays the full 64-wide tile — measured p50 149 ms vs ~60 ms on the
-    # 8-wide rung), full batches the throughput-peak width
+    _ = pr_env  # engine construction handles it (see main)
     backend = SparseTileBackend(engine, None, N_DOCS, widths=(8, WIDTH),
                                 t_budget=T_BUDGET, topk=TOPK)
     server = RetrievalServer(backend, max_wait_ms=2.0,
                              pipeline_depth=PIPE_DEPTH)
-
     rng = np.random.default_rng(0)
 
     def make_query():
@@ -132,9 +89,8 @@ def main() -> None:
         return terms, vals
 
     warm = server.warmup([make_query() for _ in range(WIDTH)], passes=4)
-    log(f"warmup: {warm}")
+    log(f"[{val_dtype}] warmup: {warm}")
     server.start()
-
     results = {}
     for conc in CONCURRENCY:
         with server._lock:
@@ -164,30 +120,93 @@ def main() -> None:
             "p95_ms": st.get("latency_p95_ms"),
             "mean_batch": st["mean_batch"],
         }
-        log(f"concurrency {conc}: {qps:.1f} QPS, "
+        log(f"[{val_dtype}] concurrency {conc}: {qps:.1f} QPS, "
             f"p50 {st.get('latency_p50_ms')} ms, "
             f"p95 {st.get('latency_p95_ms')} ms, "
             f"mean batch {st['mean_batch']}")
     server.stop()
+    return {"results": results, "warmup": warm}
 
-    best = max(r["qps"] for r in results.values())
+
+def main() -> None:
+    log(f"devices: {jax.devices()}")
+    per_term = (N_DOCS * K) // VOCAB
+    nnz = per_term * VOCAB
+
+    @jax.jit
+    def gen_rows():
+        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz + CHUNK, 1), 0)[:, 0]
+        h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
+        rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+        return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
+
+    t0 = time.perf_counter()
+    rows_flat = gen_rows()
+    _ = int(rows_flat[0])
+    offsets = np.arange(VOCAB + 1, dtype=np.int64) * per_term
+    log(f"rows on device in {time.perf_counter()-t0:.0f}s "
+        f"({rows_flat.nbytes / 1e9:.1f} GB)")
+    pr_env = os.environ.get("SRT_PACKED_READ")
+    packed_read = None if pr_env is None else bool(int(pr_env))
+
+    arms = {}
+    if "f32" in ARMS:
+        valbits_flat = jnp.full((nnz + CHUNK,),
+                                np.float32(1.0).view(np.int32), jnp.int32)
+        _ = int(valbits_flat[0])
+        engine = SegsortEngine(None, topk=TOPK, query_terms_budget=T_BUDGET,
+                               device_csr=(rows_flat, valbits_flat, offsets,
+                                           N_DOCS),
+                               val_dtype="f32", packed_read=packed_read)
+        arms["f32"] = run_ladder(engine, "f32")
+        del engine, valbits_flat  # frees 4.5 GB before the q8 pack
+
+    if "q8" in ARMS:
+        # q8 single-word layout (4 B/posting — half the f32 HBM): values
+        # are 1.0 on this index so code 255 at per-term scale 1/255 is
+        # LOSSLESS; the rows buffer donates into the packed words
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def gen_q8(rows):
+            ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                (ru << jnp.uint32(8)) | jnp.uint32(255), jnp.int32)
+
+        packed_q8 = gen_q8(rows_flat)
+        _ = int(packed_q8[0])
+        scales = np.full(VOCAB, np.float32(1.0) / np.float32(255.0),
+                         np.float32)
+        engine = SegsortEngine(None, topk=TOPK, query_terms_budget=T_BUDGET,
+                               device_csr=(packed_q8, scales, offsets,
+                                           N_DOCS),
+                               val_dtype="q8", packed_read=packed_read)
+        arms["q8"] = run_ladder(engine, "q8")
+
+    best = {n: max(r["qps"] for r in a["results"].values())
+            for n, a in arms.items()}
+    lead = max(best, key=best.get)
     out = {
         "metric": "serving_qps_msmarco_scale",
-        "value": best,
+        "value": best[lead],
         "unit": (f"queries/sec through the resident micro-batching server "
-                 f"(8.84M docs, 1.13B postings, top-{TOPK}, "
-                 f"val_dtype={val_dtype}, 1 chip, "
-                 f"closed-loop clients; per-concurrency: "
-                 + json.dumps(results)),
-        "vs_baseline": round(best / 7.8, 1),
+                 f"(8.84M docs, 1.13B postings, top-{TOPK}, 1 chip, "
+                 f"closed-loop clients; layout={lead}; same-window arms: "
+                 + json.dumps(best)),
+        "vs_baseline": round(best[lead] / 7.8, 1),
     }
     print(json.dumps(out))
-    suffix = "" if val_dtype == "f32" else f"_{val_dtype}"
-    fname = (f"BENCH_SERVING{suffix}.json" if TOPK == 1000
-             else f"BENCH_SERVING_k{TOPK}{suffix}.json")
-    with open(fname, "w") as f:
-        json.dump({"results": results, "warmup": warm,
-                   "topk": TOPK, "val_dtype": val_dtype}, f, indent=1)
+    suffix = "" if TOPK == 1000 else f"_k{TOPK}"
+    with open(f"BENCH_SERVING{suffix}.json", "w") as f:
+        json.dump({"arms": arms, "topk": TOPK,
+                   "note": "f32 and q8 ladders in ONE invocation/window "
+                           "(VERDICT r4 #6)"}, f, indent=1)
+    if "q8" in arms and TOPK == 1000:
+        with open("BENCH_SERVING_q8.json", "w") as f:
+            json.dump({"results": arms["q8"]["results"],
+                       "warmup": arms["q8"]["warmup"], "topk": TOPK,
+                       "val_dtype": "q8",
+                       "same_window_f32_best": best.get("f32"),
+                       "note": "measured same-window as the f32 arm "
+                               "(VERDICT r4 #6 re-measure)"}, f, indent=1)
 
 
 if __name__ == "__main__":

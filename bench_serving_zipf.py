@@ -1,0 +1,251 @@
+"""Serving benchmark over the POWER-LAW corpus: skewed traffic through the
+resident broker at saturation (VERDICT r4 #4 — every closed-loop serving
+artifact rode the uniform index; the zipf corpus is the honest
+MSMARCO-shaped workload and the only one where cost-aware scheduling and
+hot-lane routing actually fire).
+
+Index: the same device-generated zipf CSR as bench_zipf.py (dyadic bands,
+len ∝ rank^-1.13, ~1.06B postings, 8.5 GB f32). Traffic: the
+MSMARCO-calibrated query stream (terms ∝ len^alpha with alpha bisected to
+~425k matched postings/query) plus a fraction of hot-term queries
+(alpha=0.7, millions matched) — per-query DMA job need varies ~100x, so
+this exercises, under concurrent load:
+
+* cost-aware micro-batching (SparseTileBackend.tile_slots_cap: co-riders
+  are admitted only while width_rung x job_bucket(max need) stays inside
+  the 32768-slot envelope; the first over-cap request starts the next
+  tile) — without it one expensive co-rider inflates the whole tile's
+  sort slab ~8x;
+* the width ladder (expensive singletons ride the narrow rung);
+* hot-lane routing (need > max_need_jobs jobs -> host slow lane; here an
+  arithmetic scorer that regenerates posting lists from the zipf band
+  construction — the same work the production CppSparseEngine does over a
+  materialized CSR, without an impossible 8.5 GB host upload);
+* shed behavior (bounded hot lane).
+
+Warmup compiles every (width rung, job bucket) variant the traffic can
+reach BEFORE the clock starts — a mid-measurement 10-140 s remote compile
+would wreck the percentiles. Prints one JSON line; writes
+BENCH_SERVING_ZIPF.json.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bench_zipf import (  # noqa: E402
+    A_MULT, GAMMA, L0_Q, N_DOCS, T_BUDGET, build_band_tables,
+    calibrate_alpha, enable_x64, gen_prefix_csr, log,
+)
+from scaling_retriever_tpu.ops.segsort_scoring import (  # noqa: E402
+    SegsortEngine, bucket_jobs,
+)
+from scaling_retriever_tpu.serving.server import (  # noqa: E402
+    RetrievalServer, SparseTileBackend,
+)
+
+TOPK = int(os.environ.get("SRT_BENCH_TOPK", "1000"))
+SECONDS = 8.0
+CONCURRENCY = tuple(int(c) for c in os.environ.get(
+    "SRT_BENCH_CONC", "1,8,64,128,256").split(","))
+HOT_EVERY = int(os.environ.get("SRT_HOT_EVERY", "32"))  # 1 hot per N reqs
+MAX_NEED_JOBS = 8192          # fast-lane per-query cap (~8.4M postings)
+TILE_SLOTS_CAP = 32768        # proven sort-slab envelope (CLAUDE.md)
+POOL = 2048                   # pregenerated calibrated queries
+HOT_POOL = 64
+
+
+class ZipfHostLane:
+    """Host slow lane: exact term-at-a-time scoring with posting lists
+    REGENERATED from the zipf band arithmetic (doc(p) = A*(p mod N) mod N,
+    val g(j) = (1+j)^-gamma) — bit-identical postings to the device CSR
+    without materializing 8.5 GB on the host. Plays the production
+    CppSparseEngine role (same retrieve_sparse contract)."""
+
+    def __init__(self, t):
+        self.offsets = t["offsets"]
+        self.lens = t["lens"]
+
+    def retrieve_sparse(self, terms, vals, topk):
+        scores = np.zeros(N_DOCS, np.float64)
+        for t_, v_ in zip(terms, vals):
+            if v_ <= 0:
+                continue
+            L = int(self.lens[t_])
+            if L == 0:
+                continue
+            p = self.offsets[t_] + np.arange(L, dtype=np.int64)
+            docs = (A_MULT * (p % N_DOCS)) % N_DOCS
+            w = float(v_) * (1.0 + np.arange(L, dtype=np.float64)) ** -GAMMA
+            scores += np.bincount(docs, weights=w, minlength=N_DOCS)
+        k = min(topk, N_DOCS)
+        top = np.argpartition(-scores, k - 1)[:k]
+        order = top[np.argsort(-scores[top], kind="stable")]
+        return order.astype(np.int64), scores[order].astype(np.float32)
+
+
+def main() -> None:
+    log(f"devices: {jax.devices()}")
+    t = build_band_tables()
+    log(f"zipf index: V={t['V']}, nnz={t['nnz']/1e9:.2f}B postings")
+
+    t_full = dict(t, pre_L=t["L"], pre_lens=t["lens"],
+                  pre_offsets=t["offsets"],
+                  pre_post_start=t["post_start"], pre_nnz=t["nnz"])
+    t0 = time.perf_counter()
+    with enable_x64():
+        rows, bits = gen_prefix_csr(t_full)
+        _ = int(rows[0])
+    log(f"full CSR on device in {time.perf_counter()-t0:.0f}s "
+        f"({(rows.nbytes + bits.nbytes)/1e9:.1f} GB)")
+
+    engine = SegsortEngine(
+        None, topk=TOPK, query_terms_budget=T_BUDGET,
+        device_csr=(rows, bits, t["offsets"], N_DOCS))
+    # four width rungs, not the uniform bench's two: under the slot cap a
+    # tile's width is bounded by its most expensive member's bucket
+    # (rung * bucket <= cap), and with only {8, 64} any batch holding a
+    # >512-job query could never grow past 8 wide — measured mean batch
+    # 8.05 and 187.5 QPS at saturation; intermediate rungs let mid-cost
+    # tiles form at mid widths (32 x bucket-1024 = the same 32768-slot
+    # envelope)
+    backend = SparseTileBackend(
+        engine, None, N_DOCS, widths=(8, 16, 32, 64), t_budget=T_BUDGET,
+        topk=TOPK, max_need_jobs=MAX_NEED_JOBS, hot_lane=ZipfHostLane(t),
+        tile_slots_cap=TILE_SLOTS_CAP)
+    server = RetrievalServer(backend, max_wait_ms=2.0)
+
+    # ---- query pools -----------------------------------------------------
+    rng = np.random.default_rng(0)
+    alpha = calibrate_alpha(t, 425_000.0)
+    log(f"calibrated alpha={alpha:.3f}")
+
+    def pool(alpha_, n):
+        probs = t["lens"].astype(np.float64) ** alpha_
+        probs /= probs.sum()
+        out = []
+        for _ in range(n):
+            terms = rng.choice(t["V"], size=L0_Q, replace=False,
+                               p=probs).astype(np.int32)
+            vals = rng.uniform(0.1, 2.0, L0_Q).astype(np.float32)
+            out.append((terms, vals))
+        return out
+
+    cal_pool = pool(alpha, POOL)
+    hot_pool = pool(0.7, HOT_POOL)
+    needs = np.array([backend.request_cost(q) for q in cal_pool])
+    hot_needs = np.array([backend.request_cost(q) for q in hot_pool])
+    n_routed_hot = int((hot_needs > MAX_NEED_JOBS).sum())
+    log(f"calibrated pool need: p50 {np.percentile(needs, 50):.0f} "
+        f"p95 {np.percentile(needs, 95):.0f} max {needs.max()} jobs "
+        f"(fast-lane cap {MAX_NEED_JOBS}); hot pool need: "
+        f"p50 {np.percentile(hot_needs, 50):.0f} max {hot_needs.max()} — "
+        f"{n_routed_hot}/{HOT_POOL} route to the host lane")
+
+    # ---- warm every reachable (rung, bucket) variant ----------------------
+    # reachable = rung * bucket <= cap, PLUS near-cap buckets on the narrow
+    # rung (expensive queries under max_need_jobs ride rung 8 alone)
+    by_bucket = {}
+    for q, n in zip(cal_pool, needs):
+        if n <= MAX_NEED_JOBS:
+            by_bucket.setdefault(bucket_jobs(int(n)), []).append(q)
+    for q, n in zip(hot_pool, hot_needs):
+        if n <= MAX_NEED_JOBS:
+            by_bucket.setdefault(bucket_jobs(int(n)), []).append(q)
+    t0 = time.perf_counter()
+    n_warm = 0
+    for b, qs in sorted(by_bucket.items()):
+        for w in backend.widths:
+            if w * b > TILE_SLOTS_CAP and not (w == backend.widths[0]):
+                continue
+            reqs = (qs * (-(-w // len(qs))))[:w]
+            for _ in range(3):
+                backend.drain(backend.dispatch(reqs), reqs)
+                n_warm += 1
+    log(f"warmed {len(by_bucket)} buckets x rungs ({n_warm} tiles) in "
+        f"{time.perf_counter()-t0:.0f}s")
+
+    server.start()
+    results = {}
+    for conc in CONCURRENCY:
+        with server._lock:
+            server.latencies_s.clear()
+            server.hot_latencies_s.clear()
+            server.batch_sizes.clear()
+            server.n_cost_splits = 0
+        done = [0] * conc
+        shed = [0] * conc
+        stop_t = time.perf_counter() + SECONDS
+
+        def client(i):
+            r = np.random.default_rng(1000 + i)
+            j = 0
+            while time.perf_counter() < stop_t:
+                j += 1
+                if j % HOT_EVERY == 0:
+                    q = hot_pool[int(r.integers(HOT_POOL))]
+                else:
+                    q = cal_pool[int(r.integers(POOL))]
+                try:
+                    server.search(q)
+                    done[i] += 1
+                except Exception:
+                    shed[i] += 1  # bounded hot lane sheds under flood
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(conc)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.perf_counter() - t0
+        st = server.stats()
+        qps = sum(done) / dt
+        results[conc] = {
+            "qps": round(qps, 1),
+            "p50_ms": st.get("latency_p50_ms"),
+            "p95_ms": st.get("latency_p95_ms"),
+            "hot_p50_ms": st.get("hot_latency_p50_ms"),
+            "mean_batch": st["mean_batch"],
+            "n_hot": st["n_hot"], "n_hot_shed": st["n_hot_shed"],
+            "n_cost_splits": st["n_cost_splits"],
+            "shed_seen": sum(shed),
+        }
+        log(f"conc {conc}: {qps:.1f} QPS, p50 {st.get('latency_p50_ms')} "
+            f"p95 {st.get('latency_p95_ms')} ms fast | hot n={st['n_hot']} "
+            f"p50 {st.get('hot_latency_p50_ms')} ms shed={st['n_hot_shed']} "
+            f"| splits {st['n_cost_splits']} mean_batch {st['mean_batch']}")
+    server.stop()
+
+    best = max(r["qps"] for r in results.values())
+    print(json.dumps({
+        "metric": "serving_qps_zipf",
+        "value": best,
+        "unit": (f"queries/sec through the resident server (zipf 1.06B-"
+                 f"posting corpus, MSMARCO-calibrated + 1/{HOT_EVERY} "
+                 f"hot-term traffic, top-{TOPK}, 1 chip, closed-loop; "
+                 f"per-concurrency: " + json.dumps(results)),
+        "vs_baseline": round(best / 7.8, 1),
+    }))
+    with open("BENCH_SERVING_ZIPF.json", "w") as f:
+        json.dump({"results": results, "alpha": alpha,
+                   "hot_every": HOT_EVERY,
+                   "max_need_jobs": MAX_NEED_JOBS,
+                   "tile_slots_cap": TILE_SLOTS_CAP,
+                   "pool_need_p50": float(np.percentile(needs, 50)),
+                   "pool_need_p95": float(np.percentile(needs, 95)),
+                   "pool_need_max": int(needs.max()),
+                   "hot_pool_routed_hot": n_routed_hot}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

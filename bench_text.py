@@ -19,9 +19,16 @@ encoded reps exercise the same uniform-index cost model as bench.py /
 bench_serving.py). Same on-device index construction as bench_serving
 (the host link cannot upload a 9 GB CSR).
 
-Prints one JSON line; writes BENCH_TEXT.json.
+BOTH value layouts run in ONE invocation (VERDICT r4 #6: the round-4
+f32/q8 text pair was measured in separate windows across a degraded
+evening and recorded inconclusive): f32 ladder first, the rows buffer
+donates into the q8 packed words, q8 ladder minutes later in the same
+window. SRT_VAL_DTYPE picks a single arm for quick checks.
+
+Prints one JSON line; writes BENCH_TEXT.json (+ refreshes BENCH_TEXT_q8).
 """
 
+import functools
 import json
 import os
 import sys
@@ -71,6 +78,7 @@ DEPTH = int(os.environ.get("SRT_TEXT_DEPTH", "2"))
 # deployments facing drift keep the frontend default (1.15); hotter queries
 # just re-route through the server's hot-lane path.
 BUCKET_HEADROOM = float(os.environ.get("SRT_TEXT_BUCKET_HEADROOM", "1.0"))
+ARMS = tuple(os.environ.get("SRT_VAL_DTYPE", "f32,q8").split(","))
 
 
 def log(m):
@@ -96,67 +104,8 @@ def make_128k_tokenizer():
         padding_side="left")
 
 
-def main() -> None:
-    from scaling_retriever_tpu.models import llama
-    from scaling_retriever_tpu.models.config import ModelConfig
-    from scaling_retriever_tpu.models.encoder import LlamaBiSparse
-
-    log(f"devices: {jax.devices()}")
-
-    # -- index on device (identical to bench_serving.py) -------------------
+def run_arm(val_dtype, rows_flat, valbits_flat, model, tokenize_fn) -> dict:
     per_term = (N_DOCS * K) // VOCAB
-    nnz = per_term * VOCAB
-
-    @jax.jit
-    def gen_rows():
-        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz + CHUNK, 1), 0)[:, 0]
-        h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
-        rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
-        return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
-
-    val_dtype = os.environ.get("SRT_VAL_DTYPE", "f32")
-    t0 = time.perf_counter()
-    rows_flat = gen_rows()
-    _ = int(rows_flat[0])
-    if val_dtype == "q8":
-        # 4 B/posting single-word layout — lossless on this all-1.0 index
-        # (code 255 at scale 1/255); the handoff folds the scales on device
-        import functools
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def gen_q8(rows):
-            ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
-            return jax.lax.bitcast_convert_type(
-                (ru << jnp.uint32(8)) | jnp.uint32(255), jnp.int32)
-
-        rows_flat = gen_q8(rows_flat)
-        _ = int(rows_flat[0])
-        valbits_flat = np.full(VOCAB, np.float32(1.0) / np.float32(255.0),
-                               np.float32)      # per-term dequant scales
-    else:
-        valbits_flat = jnp.full((nnz + CHUNK,),
-                                np.float32(1.0).view(np.int32), jnp.int32)
-        _ = int(valbits_flat[0])
-    offsets = jnp.arange(VOCAB + 1, dtype=jnp.int32) * per_term
-    log(f"index on device in {time.perf_counter()-t0:.0f}s "
-        f"({rows_flat.nbytes / 1e9:.1f} GB, val_dtype={val_dtype})")
-
-    # -- 1B sparse encoder (Llama-3.2-1B architecture, random bf16) --------
-    config = ModelConfig(
-        vocab_size=VOCAB, hidden_size=2048, intermediate_size=8192,
-        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
-        head_dim=64, rope_theta=500000.0, tie_word_embeddings=True,
-        max_position_embeddings=131072,
-        rope_scaling={"rope_type": "llama3", "factor": 32.0,
-                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
-                      "original_max_position_embeddings": 8192},
-        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    t0 = time.perf_counter()
-    params = llama.init_params(config, jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    model = LlamaBiSparse(params, config)
-    log(f"1B encoder on device in {time.perf_counter()-t0:.0f}s")
-
     host_offsets = np.arange(VOCAB + 1, dtype=np.int64) * per_term
     engine = SegsortEngine(None, topk=TOPK, query_terms_budget=T_SPARSE,
                            device_csr=(rows_flat, valbits_flat,
@@ -166,10 +115,6 @@ def main() -> None:
     backend = SparseTileBackend(engine, None, N_DOCS, widths=(8, WIDTH),
                                 t_budget=T_SPARSE, topk=TOPK)
     server = RetrievalServer(backend, max_wait_ms=2.0, pipeline_depth=2)
-
-    tokenizer = make_128k_tokenizer()
-    tokenize_fn = make_hf_tokenize_fn(tokenizer, max_length=64,
-                                      lengths=LENGTH_RUNGS)
     encode_fn = (make_encode_fn_handoff(model, T_SPARSE) if HANDOFF
                  else make_encode_fn(model, T_SPARSE,
                                      pad_read_bytes=PAD_READ_KB * 1024))
@@ -189,9 +134,9 @@ def main() -> None:
     t0 = time.perf_counter()
     warm_texts = [make_text() for _ in range(WIDTH)]
     ew = frontend.warmup(warm_texts, passes=4)
-    log(f"encoder warmup: {ew}")
+    log(f"[{val_dtype}] encoder warmup: {ew}")
     ids, mask = tokenize_fn(warm_texts)
-    packed = encode_fn(ids, mask)
+    packed = encode_fn.dispatch(ids, mask) if HANDOFF else encode_fn(ids, mask)
     reps = []
     if HANDOFF:
         # handoff encode_fn returns (terms, vals) device arrays; the server
@@ -208,7 +153,7 @@ def main() -> None:
             reps.append((packed[i, :T_SPARSE][keep].astype(np.int32),
                          vals[keep]))
     rw = server.warmup(reps, passes=4)
-    log(f"retrieval warmup: {rw}")
+    log(f"[{val_dtype}] retrieval warmup: {rw}")
     warm_s = round(time.perf_counter() - t0, 1)
 
     server.start()
@@ -245,37 +190,112 @@ def main() -> None:
             "p50_ms": round(float(np.percentile(alllat, 50)), 1),
             "p95_ms": round(float(np.percentile(alllat, 95)), 1),
         }
-        log(f"concurrency {conc}: {qps:.1f} QPS text-in, "
+        log(f"[{val_dtype}] concurrency {conc}: {qps:.1f} QPS text-in, "
             f"p50 {results[conc]['p50_ms']} ms, "
             f"p95 {results[conc]['p95_ms']} ms")
-        log(f"  server: {server.stats()}")
-        log(f"  frontend: {frontend.stats()}")
     fs = frontend.stats()
-    log(f"frontend: {fs}")
+    log(f"[{val_dtype}] frontend: {fs}")
     frontend.stop()
     server.stop()
+    return {"results": results, "frontend": fs, "warmup_s": warm_s}
 
-    best = max(r["qps"] for r in results.values())
-    out = {
+
+def main() -> None:
+    from scaling_retriever_tpu.models import llama
+    from scaling_retriever_tpu.models.config import ModelConfig
+    from scaling_retriever_tpu.models.encoder import LlamaBiSparse
+
+    log(f"devices: {jax.devices()}")
+
+    # -- index on device (identical to bench_serving.py) -------------------
+    per_term = (N_DOCS * K) // VOCAB
+    nnz = per_term * VOCAB
+
+    @jax.jit
+    def gen_rows():
+        i = jax.lax.broadcasted_iota(jnp.uint32, (nnz + CHUNK, 1), 0)[:, 0]
+        h = (i * jnp.uint32(2654435761)) ^ ((i * jnp.uint32(2654435761)) >> 13)
+        rows = (h & jnp.uint32((1 << 24) - 1)).astype(jnp.int32)
+        return jnp.where(rows >= N_DOCS, rows - N_DOCS, rows)
+
+    t0 = time.perf_counter()
+    rows_flat = gen_rows()
+    _ = int(rows_flat[0])
+    log(f"rows on device in {time.perf_counter()-t0:.0f}s "
+        f"({rows_flat.nbytes / 1e9:.1f} GB)")
+
+    # -- 1B sparse encoder (Llama-3.2-1B architecture, random bf16) --------
+    config = ModelConfig(
+        vocab_size=VOCAB, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=64, rope_theta=500000.0, tie_word_embeddings=True,
+        max_position_embeddings=131072,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    params = llama.init_params(config, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    model = LlamaBiSparse(params, config)
+    log(f"1B encoder on device in {time.perf_counter()-t0:.0f}s")
+    tokenizer = make_128k_tokenizer()
+    tokenize_fn = make_hf_tokenize_fn(tokenizer, max_length=64,
+                                      lengths=LENGTH_RUNGS)
+
+    arms = {}
+    if "f32" in ARMS:
+        valbits_flat = jnp.full((nnz + CHUNK,),
+                                np.float32(1.0).view(np.int32), jnp.int32)
+        _ = int(valbits_flat[0])
+        arms["f32"] = run_arm("f32", rows_flat, valbits_flat, model,
+                              tokenize_fn)
+        del valbits_flat  # frees 4.5 GB before the q8 pack
+
+    if "q8" in ARMS:
+        # 4 B/posting single-word layout — lossless on this all-1.0 index
+        # (code 255 at scale 1/255); the handoff folds the scales on device
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def gen_q8(rows):
+            ru = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+            return jax.lax.bitcast_convert_type(
+                (ru << jnp.uint32(8)) | jnp.uint32(255), jnp.int32)
+
+        packed_q8 = gen_q8(rows_flat)
+        _ = int(packed_q8[0])
+        scales = np.full(VOCAB, np.float32(1.0) / np.float32(255.0),
+                         np.float32)
+        arms["q8"] = run_arm("q8", packed_q8, scales, model, tokenize_fn)
+
+    best = {n: max(r["qps"] for r in a["results"].values())
+            for n, a in arms.items()}
+    lead = max(best, key=best.get)
+    print(json.dumps({
         "metric": "text_in_serving_qps",
-        "value": best,
+        "value": best[lead],
         "unit": (f"text queries/sec end-to-end (tokenize + 1B on-chip "
                  f"encode + top-{TOPK} retrieval over 8.84M docs / 1.13B "
-                 f"postings, val_dtype={val_dtype}, one chip, closed-loop; "
-                 f"per-concurrency: " + json.dumps(results)),
+                 f"postings, one chip, closed-loop; layout={lead}; "
+                 f"same-window arms: " + json.dumps(best)),
         "vs_baseline": None,
-    }
-    print(json.dumps(out))
-    suffix = "" if val_dtype == "f32" else f"_{val_dtype}"
-    artifact = (f"BENCH_TEXT{suffix}.json" if TOPK == 1000
-                else f"BENCH_TEXT_k{TOPK}{suffix}.json")
+    }))
+    artifact = ("BENCH_TEXT.json" if TOPK == 1000
+                else f"BENCH_TEXT_k{TOPK}.json")
     with open(artifact, "w") as f:
-        json.dump({"results": results, "frontend": fs, "topk": TOPK,
+        json.dump({"arms": arms, "topk": TOPK,
                    "encode_pad_read_kb": PAD_READ_KB,
                    "length_rungs": list(LENGTH_RUNGS),
                    "bucket_headroom": BUCKET_HEADROOM,
-                   "pipeline_depth": DEPTH, "val_dtype": val_dtype,
-                   "warmup_s": warm_s}, f, indent=1)
+                   "pipeline_depth": DEPTH,
+                   "note": "f32 and q8 ladders in ONE invocation/window "
+                           "(VERDICT r4 #6)"}, f, indent=1)
+    if "q8" in arms and TOPK == 1000:
+        with open("BENCH_TEXT_q8.json", "w") as f:
+            json.dump({"results": arms["q8"]["results"], "topk": TOPK,
+                       "val_dtype": "q8",
+                       "same_window_f32_best": best.get("f32"),
+                       "note": "measured same-window as the f32 arm "
+                               "(VERDICT r4 #6 re-measure)"}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_qrel_path", default="")
     p.add_argument("--eval_run_path", default="")
     p.add_argument("--eval_metric", default="")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="retrieval embedding layout: int8 = per-doc codes "
+                        "+ f32 scales (1 B/dim, exact over codes; halves "
+                        "resident bytes -> double the docs/chip). Disk "
+                        "artifacts stay f32")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--use_mesh", action="store_true",
@@ -119,8 +124,10 @@ class LocalDenseRetriever:
     """Load npy chunks into the flat index and rank queries
     (reference eval_dense.py:108-135)."""
 
-    def __init__(self, hidden_dim: int):
-        self.indexer = DenseFlatIndexer()
+    def __init__(self, hidden_dim: int, quantize=None):
+        # quantize="int8": the capacity rung (1 B/dim codes + f32 scales,
+        # exact over codes — PERFORMANCE.md "int8 embedding rung")
+        self.indexer = DenseFlatIndexer(quantize=quantize)
         self.indexer.init_index(hidden_dim)
 
     def index_encoded_data(self, doc_embed_dir: str) -> None:
@@ -236,9 +243,11 @@ def dense_retrieval(args) -> None:
             mesh = JMesh(np.array(devices), ("data",))
             retriever = MeshDenseRetriever(model.hidden_size, mesh)
         else:
-            retriever = LocalDenseRetriever(model.hidden_size)
+            retriever = LocalDenseRetriever(model.hidden_size,
+                                            quantize=args.quantize or None)
     else:
-        retriever = LocalDenseRetriever(model.hidden_size)
+        retriever = LocalDenseRetriever(model.hidden_size,
+                                        quantize=args.quantize or None)
     retriever.index_encoded_data(args.doc_embed_dir)
 
     run: dict = {}

@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "retrieval_qps is the resident-server number. "
                         "Artifacts from the LAST pass win; per-pass stats "
                         "land in q_stats.json as \"passes\"")
+    p.add_argument("--index_sparsify_t", type=int, default=1024,
+                   help="indexing: device-side top-t packed read of the "
+                        "encoder reps (shrinks the per-batch device→host "
+                        "transfer ~60x through the slow tunnel; EXACT — "
+                        "rows with more than t nonzeros are detected via "
+                        "the packed nnz column and fall back to the full "
+                        "[bz, V] read). 0 = reference-style full read")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--use_mesh", action="store_true",
@@ -160,7 +167,8 @@ def sparse_index(args) -> None:
 
     loader = PrefetchLoader(loader)
     SparseIndexer(model, index_dir, dim_voc=model.vocab_size,
-                  rank=args.rank, world_size=args.world_size).index(loader)
+                  rank=args.rank, world_size=args.world_size,
+                  device_sparsify_t=args.index_sparsify_t).index(loader)
 
 
 def _query_loader(args, use_reps: bool = True):

@@ -13,57 +13,113 @@ reference indexer.py:259-262) so shard artifacts stay interchangeable.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Iterable, Optional
 
+import jax
 import numpy as np
 
 from scaling_retriever_tpu.index.inverted_index import SparseIndex
 
 
+@functools.partial(jax.jit, static_argnames=("t",))
+def _pack_sparse_topk(reps, t: int):
+    """[bz, V] SPLADE reps → ONE [bz, 2t+1] f32 buffer (term ids as exact
+    f32 integers | values | per-row true nnz). Shrinks the per-batch
+    device→host read from bz*V*4 B (32.8 MB at bz 64 / the 128k vocab —
+    minutes per million docs through the 0.06-0.5 GB/s tunnel) to
+    bz*(2t+1)*4 B (~0.5 MB at t=1024). The nnz column makes truncation
+    DETECTABLE: a row with more than t nonzeros falls back to the full
+    read, so the built index is always exactly the reference's."""
+    import jax.numpy as jnp
+
+    vals, terms = jax.lax.top_k(reps, t)
+    nnz = (reps != 0).sum(axis=-1).astype(jnp.float32)
+    return jnp.concatenate(
+        [terms.astype(jnp.float32), vals, nnz[:, None]], axis=1)
+
+
 class SparseIndexer:
     """Encode a corpus shard and build the impact index
-    (reference indexer.py:220-308)."""
+    (reference indexer.py:220-308).
+
+    ``device_sparsify_t`` > 0 turns on the device-side top-t packed read
+    (see ``_pack_sparse_topk``; exact — over-t rows are detected and fall
+    back to the full [bz, V] read), and the batch loop runs depth-2
+    dispatch-ahead so batch i+1's encode overlaps batch i's host read +
+    CSR append (the proven driver discipline, utils.depth2_pipeline)."""
 
     def __init__(self, model, index_dir: Optional[str], compute_stats: bool = True,
-                 dim_voc: Optional[int] = None, rank: int = 0, world_size: int = 1):
+                 dim_voc: Optional[int] = None, rank: int = 0, world_size: int = 1,
+                 device_sparsify_t: int = 0):
         self.model = model
         self.index_dir = index_dir
         self.compute_stats = compute_stats
         self.dim_voc = dim_voc or model.vocab_size
         self.rank = rank
         self.world_size = world_size
+        self.device_sparsify_t = int(device_sparsify_t)
+        self.n_fallback_batches = 0
 
     def index(self, collection_loader: Iterable) -> dict:
         rows_parts, cols_parts, vals_parts = [], [], []
         doc_ids: dict[int, object] = {}
-        count = 0
-        l0_sum = 0.0
-        n_batches = 0
+        state = {"count": 0, "l0_sum": 0.0, "n_batches": 0}
+        t = min(self.device_sparsify_t, self.dim_voc)
+        if 2 * t + 1 >= self.dim_voc:
+            t = 0  # the packed buffer would not be smaller than the reps
 
         from scaling_retriever_tpu.utils.profiling import profile_span
+        from scaling_retriever_tpu.utils.utils import depth2_pipeline
 
-        for batch in collection_loader:
-            ids = batch["ids"]
-            with profile_span("corpus_encode_batch"):
-                reps = np.asarray(
-                    self.model.encode(batch["input_ids"],
-                                      batch["attention_mask"]),
-                    np.float32,
-                )  # [bz, vocab]
-            n_batches += 1
-            if self.compute_stats:
-                l0_sum += float((reps != 0).sum(axis=-1).mean())
-            r, c = np.nonzero(reps)
-            v = reps[r, c]
-            g_rows = (r + count) * self.world_size + self.rank
-            rows_parts.append(g_rows.astype(np.int64))
-            cols_parts.append(c.astype(np.int64))
-            vals_parts.append(v)
-            for local, did in enumerate(ids):
-                doc_ids[(count + local) * self.world_size + self.rank] = did
-            count += len(ids)
+        def dispatch(batch):
+            with profile_span("corpus_encode_dispatch"):
+                reps_dev = self.model.encode(batch["input_ids"],
+                                             batch["attention_mask"])
+                packed = (_pack_sparse_topk(reps_dev, t) if t > 0 else None)
+            return packed, reps_dev, batch["ids"]
+
+        def drain(pending):
+            packed, reps_dev, ids = pending
+            count = state["count"]
+            state["n_batches"] += 1
+            r = c = v = None
+            if packed is not None:
+                with profile_span("corpus_read_packed"):
+                    buf = np.asarray(packed, np.float32)
+                nnz = buf[:, -1]
+                if float(nnz.max(initial=0.0)) <= t:
+                    terms = buf[:, :t].astype(np.int64)
+                    vals = buf[:, t:2 * t]
+                    r, slot = np.nonzero(vals > 0)
+                    c, v = terms[r, slot], vals[r, slot]
+                    if self.compute_stats:
+                        state["l0_sum"] += float(nnz.mean())
+                else:
+                    # a row overflowed the top-t budget: keep exactness by
+                    # reading the full reps for THIS batch only
+                    self.n_fallback_batches += 1
+            if r is None:
+                with profile_span("corpus_read_full"):
+                    reps = np.asarray(reps_dev, np.float32)  # [bz, vocab]
+                if self.compute_stats:
+                    state["l0_sum"] += float((reps != 0).sum(axis=-1).mean())
+                r, c = np.nonzero(reps)
+                v = reps[r, c]
+            with profile_span("corpus_csr_append"):
+                g_rows = (r + count) * self.world_size + self.rank
+                rows_parts.append(g_rows.astype(np.int64))
+                cols_parts.append(np.asarray(c, np.int64))
+                vals_parts.append(np.asarray(v, np.float32))
+                for local, did in enumerate(ids):
+                    doc_ids[(count + local) * self.world_size + self.rank] = did
+            state["count"] += len(ids)
+
+        depth2_pipeline(collection_loader, dispatch, drain)
+        count, l0_sum = state["count"], state["l0_sum"]
+        n_batches = state["n_batches"]
 
         rows = np.concatenate(rows_parts) if rows_parts else np.zeros(0, np.int64)
         cols = np.concatenate(cols_parts) if cols_parts else np.zeros(0, np.int64)

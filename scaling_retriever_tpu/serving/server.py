@@ -66,7 +66,8 @@ class SparseTileBackend:
     def __init__(self, engine, doc_ids: Optional[Sequence], n_docs: int,
                  width: int = 64, t_budget: int = 64, topk: int = 1000,
                  widths: Optional[Sequence[int]] = None,
-                 max_need_jobs: int = 8192, hot_lane=None):
+                 max_need_jobs: int = 8192, hot_lane=None,
+                 tile_slots_cap: Optional[int] = 32768):
         self.engine = engine
         # slow lane for over-budget (hot-term) queries: an object with
         # ``retrieve_sparse(terms, vals, topk) -> (rows, scores)`` scoring
@@ -91,7 +92,44 @@ class SparseTileBackend:
         self.t_budget = t_budget
         self.topk = topk
         self.max_need_jobs = max_need_jobs
+        # COST-AWARE micro-batching (round 5, VERDICT r4 #4): on a
+        # power-law index per-query DMA job need varies ~100x, and a
+        # tile's sort slab is width_rung * job_bucket(max need) * 1024
+        # postings — one expensive co-rider inflates the WHOLE tile to
+        # its bucket. The broker admits co-riders only while that
+        # product stays <= tile_slots_cap (the batch drivers' proven
+        # 32768-slot operating envelope, = the uniform bench's standard
+        # 64 x 512 tile, so uniform traffic is unaffected); the first
+        # over-cap request starts the NEXT tile instead. A lone admitted
+        # request still dispatches at the narrowest rung whatever its
+        # need — the per-QUERY bound is max_need_jobs (above it: hot
+        # lane). None disables the cap.
+        self.tile_slots_cap = tile_slots_cap
         self.widenings = 0
+
+    def request_cost(self, query) -> int:
+        """Per-query DMA job need (the engines' cost unit); 0 when the
+        engine has no cost model (then the cap never splits)."""
+        if getattr(self.engine, "job_need", None) is None:
+            return 0
+        terms, vals = query
+        return int(self.engine.job_need(
+            np.asarray(terms, np.int32)[None, :],
+            np.asarray(vals, np.float32)[None, :]).max())
+
+    def admit(self, batch_costs: list, next_cost: int) -> bool:
+        """Would adding a request of ``next_cost`` keep the padded tile
+        inside the slot envelope? (See tile_slots_cap.)"""
+        if self.tile_slots_cap is None:
+            return True
+        new_max = max(max(batch_costs), next_cost)
+        if new_max <= 0:
+            return True
+        from scaling_retriever_tpu.ops.segsort_scoring import bucket_jobs
+
+        n = len(batch_costs) + 1
+        rung = next((w for w in self.widths if w >= n), self.width)
+        return rung * bucket_jobs(new_max) <= self.tile_slots_cap
 
     def route(self, query) -> str:
         """Pick a lane for the request (called on the CLIENT thread by
@@ -101,12 +139,7 @@ class SparseTileBackend:
         memory note): with a ``hot_lane`` it rides the host slow lane
         (mirroring the batch eval driver's doc-major routing), otherwise
         it is rejected."""
-        if getattr(self.engine, "job_need", None) is None:
-            return "fast"
-        terms, vals = query
-        need = int(self.engine.job_need(
-            np.asarray(terms, np.int32)[None, :],
-            np.asarray(vals, np.float32)[None, :]).max())
+        need = self.request_cost(query)
         if need <= self.max_need_jobs:
             return "fast"
         if self.hot_lane is not None:
@@ -181,21 +214,36 @@ class DenseTileBackend:
     chunks), so dispatch is deferred to drain — the server still batches
     requests into one call, which is where the dense throughput lives."""
 
-    def __init__(self, indexer, width: int = 64, topk: int = 1000):
+    def __init__(self, indexer, width: int = 64, topk: int = 1000,
+                 widths: Optional[Sequence[int]] = None):
         self.indexer = indexer
-        self.width = width
+        # width LADDER, same as the sparse backend: every DISTINCT query
+        # count is its own jit variant of the search program (a 10-140 s
+        # remote compile on this backend) — un-padded micro-batches of
+        # 1..width queries compiled up to `width` variants mid-traffic,
+        # measured as multi-second serving p95s (round 5, dense serving
+        # bench). Batches are zero-padded to the smallest rung; zero
+        # queries score 0 everywhere and their rows are sliced off in
+        # drain.
+        self.widths = tuple(sorted(widths)) if widths else (8, width)
+        self.width = self.widths[-1]
         self.topk = topk
         self.t_budget = None
 
     def pack(self, reqs: list) -> np.ndarray:
-        return np.stack([np.asarray(r, np.float32) for r in reqs])
+        q = np.stack([np.asarray(r, np.float32) for r in reqs])
+        rung = next((w for w in self.widths if w >= len(reqs)), self.width)
+        if rung > len(reqs):
+            q = np.pad(q, ((0, rung - len(reqs)), (0, 0)))
+        return q
 
     def dispatch(self, reqs: list):
         return self.pack(reqs)
 
     def drain(self, payload, reqs: list) -> list:
         hits = self.indexer.search_knn(payload, self.topk)
-        return [(ids, list(map(float, sc))) for ids, sc in hits]
+        return [(ids, list(map(float, sc)))
+                for ids, sc in hits[:len(reqs)]]
 
 
 _STOP = object()
@@ -261,6 +309,11 @@ class RetrievalServer:
         self.n_hot = 0
         self.n_hot_shed = 0
         self.n_fast_shed = 0
+        self.n_cost_splits = 0
+        # requests pulled from the queue but cost-rejected from the
+        # forming tile (arrival order); they HEAD the next tiles (never
+        # dropped, deferred by at most one tile each round)
+        self._stash: list = []
         self.n_batches = 0
         self.batch_sizes: list[int] = []
         # per-lane latency series: mixing them hides a hot burst's effect
@@ -297,6 +350,12 @@ class RetrievalServer:
                 self._hot_pool.shutdown(wait=True)
                 self._hot_pool = None
             self._started = False
+            # cost-split requests stashed in the worker's final collect
+            # would otherwise be abandoned silently
+            for item in self._stash:
+                item[2].set_exception(
+                    RuntimeError("server stopped before request ran"))
+            self._stash = []
             # a submit racing stop() can land BEHIND the sentinel; fail
             # those futures explicitly instead of abandoning them
             while True:
@@ -437,6 +496,7 @@ class RetrievalServer:
         out = {"n_requests": self.n_requests, "n_batches": self.n_batches,
                "n_hot": self.n_hot, "n_hot_shed": self.n_hot_shed,
                "n_fast_shed": self.n_fast_shed,
+               "n_cost_splits": self.n_cost_splits,
                "hot_inflight": hot_inflight,
                "mean_batch": round(float(np.mean(sizes)), 2) if sizes else 0.0,
                "t_budget": self.backend.t_budget,
@@ -463,19 +523,61 @@ class RetrievalServer:
 
     def _collect(self, first) -> list:
         """One micro-batch: ``first`` plus co-riders arriving within the
-        window, capped at the tile width."""
+        window, capped at the tile width AND (for cost-modeled backends)
+        at the tile slot envelope. On a power-law index per-query DMA job
+        need varies ~100x and a tile's sort slab is width_rung *
+        job_bucket(MAX member need) — FIFO mixing lets one expensive
+        co-rider inflate the whole tile (measured: mean batch 8-17 and
+        ~200 QPS at zipf saturation vs the cost-sorted batch driver's
+        64-wide tiles). So tiles form COST-HOMOGENEOUSLY: the head
+        request is always kept (progress guarantee — an expensive head
+        simply forms a narrow, expensive tile), co-riders are admitted
+        cheapest-first while the padded tile stays inside
+        ``backend.tile_slots_cap`` (SparseTileBackend.admit), and the
+        rejected remainder is STASHED in arrival order to head the next
+        tile — deferred by at most one tile, never dropped."""
         batch = [first]
+        use_cost = (getattr(self.backend, "admit", None) is not None
+                    and getattr(self.backend, "tile_slots_cap", None))
         deadline = time.perf_counter() + self.max_wait
-        while len(batch) < self.backend.width:
+        # previously deferred requests ride as candidates FIRST: several
+        # expensive requests stashed from one cheap tile should form ONE
+        # homogeneous expensive tile behind an expensive head, not dribble
+        # out as lone heads of otherwise-cheap tiles
+        riders = self._stash
+        self._stash = []
+        saw_stop = False
+        while len(batch) + len(riders) < self.backend.width:
             remaining = deadline - time.perf_counter()
             try:
                 item = self._q.get(timeout=max(remaining, 0.0))
             except queue.Empty:
                 break
             if item is _STOP:
-                batch.append(_STOP)
+                saw_stop = True
                 break
-            batch.append(item)
+            riders.append(item)
+        if use_cost and riders:
+            costs = [self.backend.request_cost(first[0])]
+            rider_cost = [self.backend.request_cost(r[0]) for r in riders]
+            order = sorted(range(len(riders)), key=lambda i: rider_cost[i])
+            rejected = set()
+            for i in order:
+                if self.backend.admit(costs, rider_cost[i]):
+                    costs.append(rider_cost[i])
+                else:
+                    rejected.add(i)
+            if rejected:
+                # arrival order preserved so a deferred request heads the
+                # very next tile
+                self._stash.extend(riders[i] for i in sorted(rejected))
+                with self._lock:
+                    self.n_cost_splits += len(rejected)
+                riders = [riders[i] for i in range(len(riders))
+                          if i not in rejected]
+        batch += riders
+        if saw_stop:
+            batch.append(_STOP)
         return batch
 
     def _resolve(self, pending) -> None:
@@ -502,15 +604,19 @@ class RetrievalServer:
         pending: list = []
         stop = False
         while not stop:
-            try:
-                # under load (tiles in flight) poll non-blocking so pending
-                # tiles resolve as soon as traffic pauses; idle, block
-                # until traffic arrives
-                t0 = time.perf_counter()
-                first = self._q.get(block=not pending, timeout=None)
-                self.stage_s["wait"] += time.perf_counter() - t0
-            except queue.Empty:
-                first = None
+            if self._stash:
+                # a cost-split request heads this tile (never dropped)
+                first = self._stash.pop(0)
+            else:
+                try:
+                    # under load (tiles in flight) poll non-blocking so
+                    # pending tiles resolve as soon as traffic pauses;
+                    # idle, block until traffic arrives
+                    t0 = time.perf_counter()
+                    first = self._q.get(block=not pending, timeout=None)
+                    self.stage_s["wait"] += time.perf_counter() - t0
+                except queue.Empty:
+                    first = None
             if first is _STOP:
                 stop = True
             elif first is not None:
@@ -712,6 +818,14 @@ def main(argv=None) -> None:
     ap.add_argument("--warmup_texts", default=None,
                     help="text file (one query per line) to pre-compile "
                          "and warm the encoder width rungs")
+    ap.add_argument("--dense_quantize", choices=("none", "int8"),
+                    default="none",
+                    help="dense backend value layout: int8 = per-doc "
+                         "symmetric codes + f32 scales (1 B/dim, exact "
+                         "s32 MXU dot over the codes; x1.04 QPS at half "
+                         "the HBM — PERFORMANCE.md int8 embedding rung). "
+                         "A load-time layout choice; the on-disk index "
+                         "stays f32")
     ap.add_argument("--val_dtype", choices=("f32", "bf16", "q8"),
                     default="f32",
                     help="sparse CSR value layout: bf16 packs two values "
@@ -754,9 +868,13 @@ def main(argv=None) -> None:
     else:
         from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
 
-        indexer = DenseFlatIndexer()
+        indexer = DenseFlatIndexer(
+            quantize=None if args.dense_quantize == "none"
+            else args.dense_quantize)
         indexer.deserialize(args.dense_index_dir)
-        backend = DenseTileBackend(indexer, width=args.width, topk=args.topk)
+        backend = DenseTileBackend(indexer, width=args.width,
+                                   topk=args.topk,
+                                   widths=widths if widths else None)
     server = RetrievalServer(backend, max_wait_ms=args.max_wait_ms)
     print(f"index + engine resident in {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)

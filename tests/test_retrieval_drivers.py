@@ -311,3 +311,22 @@ def test_sparse_hot_query_routing(sparse_setup, tmp_path):
     assert stats3["hot_queries"] == 0
     assert retriever3._hot_terms is None
     _check_run(run3, q_batches, q_dense, docs_dense, k=10)
+
+
+def test_sparse_indexer_device_sparsify_matches_full(sparse_setup, tmp_path):
+    """Device-side top-t packed read (round 5): the built index is
+    IDENTICAL to the reference-style full [bz, V] read — both when t
+    covers every row and when t is too small (overflow detected via the
+    packed nnz column -> full-read fallback for that batch)."""
+    model, doc_batches, _, _, out, _, _ = sparse_setup
+    base = out["index"]
+
+    for t_budget, expect_fallback in ((64, False), (2, True)):
+        d = str(tmp_path / f"sp{t_budget}")
+        ix = SparseIndexer(model, d, dim_voc=V, device_sparsify_t=t_budget)
+        got = ix.index(doc_batches)["index"]
+        assert (ix.n_fallback_batches > 0) == expect_fallback
+        np.testing.assert_array_equal(got.offsets, base.offsets)
+        np.testing.assert_array_equal(got.doc_rows, base.doc_rows)
+        np.testing.assert_allclose(got.values, base.values, rtol=1e-6)
+        assert list(got.doc_ids) == list(base.doc_ids)

@@ -963,3 +963,52 @@ def test_text_frontend_pipelined_read_error_fails_only_batch(sparse_server):
         assert ok[0] == want[0]
     finally:
         fe.stop()
+
+
+def test_cost_aware_batch_split():
+    """Power-law traffic (VERDICT r4 #4): a co-rider whose job need would
+    inflate the padded tile past tile_slots_cap is stashed and STARTS the
+    next tile — results stay exact, nothing is dropped, and the split is
+    counted. Costs are injected via a backend subclass so the split logic
+    is pinned independent of index shape (bucket_jobs floors at 64:
+    cost 1 -> bucket 64, cost 200 -> bucket 256)."""
+    idx = _index()
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+
+    class CostedBackend(SparseTileBackend):
+        def request_cost(self, query):
+            # first term id parity decides: even -> cheap, odd -> hot-term
+            return 200 if int(query[0][0]) % 2 else 1
+
+    backend = CostedBackend(eng, idx.doc_ids, idx.nb_docs(),
+                            widths=(4, 8), t_budget=8, topk=10,
+                            tile_slots_cap=512)
+    # admission rule: all-cheap fills the 8 rung (8*64 = 512 = cap); any
+    # cheap+hot mix needs rung(2)*bucket(200) = 4*256 = 1024 > cap
+    assert backend.admit([1, 1, 1, 1, 1, 1, 1], 1)
+    assert not backend.admit([1], 200)
+    assert not backend.admit([200], 1)
+    server = RetrievalServer(backend, max_wait_ms=20.0)
+    server.warmup(_queries(8), passes=1)
+    server.start()
+    try:
+        qs = []
+        for i, (terms, vals) in enumerate(_queries(6)):
+            terms = terms.copy()
+            terms[0] = (int(terms[0]) // 2) * 2 + (i % 2)  # alternate parity
+            while terms[0] in terms[1:]:  # keep terms distinct (the oracle
+                terms[0] = (terms[0] + 2) % V  # densify overwrites dupes)
+            qs.append((terms, vals))
+        futs = [server.submit(q) for q in qs]
+        results = [f.result(timeout=60) for f in futs]
+        for (terms, vals), (ids, scores) in zip(qs, results):
+            want = _oracle(idx, terms, vals, 10)
+            got = dict(zip(ids, scores))
+            assert set(got) == set(want)
+            for d, s in want.items():
+                np.testing.assert_allclose(got[d], s, rtol=1e-5)
+        assert server.n_cost_splits >= 1, server.stats()
+        assert sum(server.batch_sizes) == len(qs)  # nothing dropped
+    finally:
+        server.stop()
