@@ -173,7 +173,8 @@ def _search_chunked(docs: jax.Array, queries: jax.Array, k: int,
     return scores, rows
 
 
-def make_sharded_dense_search(mesh, axis: str, k: int, chunk: int = 262144):
+def make_sharded_dense_search(mesh, axis: str, k: int, chunk: int = 262144,
+                              quantize: Optional[str] = None):
     """Doc-sharded exact IP search over a device mesh: each device scores
     its local [N_shard, D] block, takes a local top-k, and the k-way merge
     is an on-chip all_gather + final top-k over ICI (the dense analog of
@@ -183,12 +184,16 @@ def make_sharded_dense_search(mesh, axis: str, k: int, chunk: int = 262144):
     [nq, k]); docs [N, D] and row_ids [N] sharded over ``axis`` (N a
     multiple of chunk * mesh size; pad rows must be zero vectors), queries
     [nq, D] replicated. Invalid slots carry -inf / -1.
+
+    ``quantize="int8"``: the capacity rung on the pod path — docs are the
+    int8 codes, and the fn signature gains (doc_scales [N] sharded,
+    q_scale [nq] replicated); queries are the int8 query codes. Halves
+    HBM/shard: an 8.8M x 2048 corpus fits ~3 chips instead of ~5.
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    def local_fn(docs, row_ids, queries):
-        scores, rows = _search_chunked(docs, queries, k=k, chunk=chunk)
+    def _merge(scores, rows, row_ids):
         grows = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
         all_s = jax.lax.all_gather(scores, axis, axis=1)   # [nq, S, k]
         all_r = jax.lax.all_gather(grows, axis, axis=1)
@@ -196,6 +201,24 @@ def make_sharded_dense_search(mesh, axis: str, k: int, chunk: int = 262144):
         merged_s, idx = jax.lax.top_k(all_s.reshape(nq, -1), k)
         merged_r = jnp.take_along_axis(all_r.reshape(nq, -1), idx, axis=1)
         return merged_s, merged_r
+
+    if quantize == "int8":
+        def local_fn8(docs, row_ids, doc_scales, queries, q_scale):
+            scores, rows = _search_chunked(docs, queries, k=k, chunk=chunk,
+                                           doc_scales=doc_scales,
+                                           q_scale=q_scale)
+            return _merge(scores, rows, row_ids)
+
+        return shard_map(
+            local_fn8, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+    def local_fn(docs, row_ids, queries):
+        scores, rows = _search_chunked(docs, queries, k=k, chunk=chunk)
+        return _merge(scores, rows, row_ids)
 
     return shard_map(
         local_fn, mesh=mesh,

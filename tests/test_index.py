@@ -1009,3 +1009,32 @@ def test_dense_int8_indexer_blocked_path():
     for qi, (db_ids, scores) in enumerate(results):
         order = np.argsort(-want[qi], kind="stable")[:k]
         np.testing.assert_allclose(scores, want[qi][order], rtol=1e-6)
+
+
+def test_sharded_dense_search_int8():
+    """int8 sharded dense search (round 5): doc-sharded s32-exact scoring
+    + on-chip merge equals the host oracle over the codes."""
+    from jax.sharding import Mesh as JMesh
+
+    from scaling_retriever_tpu.index.dense_index import (
+        _quantize_queries_int8, make_sharded_dense_search,
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(41)
+    n, d, nq, k, block = 8 * 8 * 4, 16, 5, 7, 8
+    docs = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    codes, sd = quantize_embeddings_int8(docs)
+    qc, qs = _quantize_queries_int8(queries)
+    mesh = JMesh(np.array(jax.devices()[:8]), ("data",))
+    fn = make_sharded_dense_search(mesh, "data", k=k, chunk=block,
+                                   quantize="int8")
+    s, r = fn(jnp.asarray(codes), jnp.arange(n, dtype=jnp.int32),
+              jnp.asarray(sd), jnp.asarray(qc), jnp.asarray(qs))
+    want = (qc.astype(np.int32) @ codes.astype(np.int32).T
+            ).astype(np.float32) * (qs[:, None] * sd[None, :])
+    order = np.argsort(-want, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(np.asarray(s),
+                               np.take_along_axis(want, order, axis=1),
+                               rtol=1e-6)
