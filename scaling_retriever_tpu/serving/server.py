@@ -234,7 +234,13 @@ class DenseTileBackend:
         q = np.stack([np.asarray(r, np.float32) for r in reqs])
         rung = next((w for w in self.widths if w >= len(reqs)), self.width)
         if rung > len(reqs):
-            q = np.pad(q, ((0, rung - len(reqs)), (0, 0)))
+            # pad with COPIES of the first query, not zeros: search_knn's
+            # block-selection certificate fails on an all-zero row (tau =
+            # max_bm = 0), which silently re-routed every ragged tile
+            # through the unwarmed exact-fallback program (measured as
+            # 8.7 s serving p50s — its cold compile, per tile shape)
+            q = np.concatenate(
+                [q, np.broadcast_to(q[0], (rung - len(reqs), q.shape[1]))])
         return q
 
     def dispatch(self, reqs: list):
@@ -547,7 +553,15 @@ class RetrievalServer:
         riders = self._stash
         self._stash = []
         saw_stop = False
-        while len(batch) + len(riders) < self.backend.width:
+        # REORDER HORIZON: with a cost model the candidate pool extends
+        # past one tile width (4x) — at saturation the queue holds plenty,
+        # and sorting a wider window forms purer cost classes (the batch
+        # driver sorts its ENTIRE stream; a broker can only reorder what
+        # it has pulled). Un-admitted candidates stash for the next tile;
+        # at low load the max_wait window bounds the pool as before.
+        pool_cap = (self.backend.width * 4 if use_cost
+                    else self.backend.width)
+        while len(batch) + len(riders) < pool_cap:
             remaining = deadline - time.perf_counter()
             try:
                 item = self._q.get(timeout=max(remaining, 0.0))
@@ -558,12 +572,13 @@ class RetrievalServer:
                 break
             riders.append(item)
         if use_cost and riders:
-            costs = [self.backend.request_cost(first[0])]
-            rider_cost = [self.backend.request_cost(r[0]) for r in riders]
+            costs = [self._cost(first)]
+            rider_cost = [self._cost(r) for r in riders]
             order = sorted(range(len(riders)), key=lambda i: rider_cost[i])
             rejected = set()
             for i in order:
-                if self.backend.admit(costs, rider_cost[i]):
+                if (len(costs) < self.backend.width
+                        and self.backend.admit(costs, rider_cost[i])):
                     costs.append(rider_cost[i])
                 else:
                     rejected.add(i)
@@ -579,6 +594,16 @@ class RetrievalServer:
         if saw_stop:
             batch.append(_STOP)
         return batch
+
+    def _cost(self, item) -> int:
+        """Per-request job cost, cached on the request's Future — stashed
+        requests are re-considered every collect round and the host-side
+        job_need would otherwise recompute per round per item."""
+        c = getattr(item[2], "_srt_cost", None)
+        if c is None:
+            c = self.backend.request_cost(item[0])
+            item[2]._srt_cost = c
+        return c
 
     def _resolve(self, pending) -> None:
         reqs, payload, t_drain = pending
@@ -626,6 +651,13 @@ class RetrievalServer:
                 if batch and batch[-1] is _STOP:
                     stop = True
                     batch = batch[:-1]
+                if stop and self._stash:
+                    # the widened candidate pool can consume the sentinel
+                    # while cost-deferred requests sit in the stash; serve
+                    # them first (graceful drain) and honor stop on the
+                    # re-queued sentinel once the stash is empty
+                    self._q.put(_STOP)
+                    stop = False
                 if batch:
                     t0 = time.perf_counter()
                     try:
@@ -661,7 +693,8 @@ class RetrievalServer:
                     # adaptive depth: with >= a full tile already queued,
                     # dispatching ahead can't starve batch formation
                     depth = (self.max_pipeline_depth
-                             if self._q.qsize() >= self.backend.width
+                             if (self._q.qsize() + len(self._stash)
+                                 >= self.backend.width)
                              else self.pipeline_depth)
                     if len(pending) >= depth:
                         self._resolve(pending.pop(0))
