@@ -360,6 +360,91 @@ class DenseFlatIndexer(DenseIndexer):
             force_materialized(self._device_docs)
         return self._device_docs
 
+    def _blocked(self, k: int) -> bool:
+        # certified block-local selection only when the chunk tiles cleanly
+        # and can hold >= k candidates per chunk
+        return (self.selection == "auto"
+                and self.chunk % self.sel_block == 0
+                and (self.chunk // self.sel_block) * self.block_m >= k)
+
+    def dispatch_tile(self, q_tile: np.ndarray, k: int):
+        """Async dispatch of ONE query tile — device work enqueued, NO
+        host read. Returns an opaque handle for ``drain_tile``. This is
+        the dense analog of the sparse engines' async/finalize protocol:
+        the serving broker overlaps tile i+1's dispatch with tile i's
+        drain (a synchronous search_knn per micro-batch serialized the
+        whole serving path — measured 353 vs the batch bench's 1271 QPS)."""
+        docs = self._materialize()
+        blocked = self._blocked(k)
+        if self.quantize == "int8":
+            q_codes, q_s = _quantize_queries_int8(q_tile)
+            q_dev, qs_dev = jnp.asarray(q_codes), jnp.asarray(q_s)
+        else:
+            q_dev, qs_dev = jnp.asarray(q_tile, self.dtype), None
+        if blocked:
+            topm = self.topm
+            if topm == "auto":
+                # the Pallas kernel needs 128-lane-aligned blocks and
+                # m <= 128 (Mosaic tiling); anything else — and CPU,
+                # where interpret mode crawls — keeps lax.top_k
+                topm = ("pallas" if jax.default_backend() != "cpu"
+                        and self.sel_block % 128 == 0
+                        and self.block_m <= 128 else "xla")
+            scores_d, rows_d, ok_d = _search_chunked_blocked(
+                docs, q_dev, k=k, chunk=self.chunk, m=self.block_m,
+                block=self.sel_block, topm=topm,
+                doc_scales=self._device_scales, q_scale=qs_dev)
+            # pack the [nq] certificate into the score transfer: a
+            # separate SMALL-buffer read per tile pays the ~28 ms
+            # per-call RPC floor on this backend (the same sink that
+            # deflated bench.py's headline by ~40 ms/tile — see
+            # PERFORMANCE.md small-read note)
+            payload = (jnp.concatenate(
+                [scores_d, ok_d[:, None].astype(jnp.float32)], axis=1),
+                rows_d)
+        else:
+            payload = _search_chunked(docs, q_dev, k=k, chunk=self.chunk,
+                                      doc_scales=self._device_scales,
+                                      q_scale=qs_dev)
+        return blocked, payload, q_dev, qs_dev, k
+
+    def drain_tile(self, handle, n_real: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-read a ``dispatch_tile`` handle → (scores f32 [n, k],
+        rows i32 [n, k]) with the certificate honored (uncertified rows
+        rerun the tile on the always-exact direct path)."""
+        blocked, payload, q_dev, qs_dev, k = handle
+        if blocked:
+            packed_d, rows_d = payload
+            packed = np.asarray(packed_d, np.float32)
+            scores_np, ok = packed[:, :-1], packed[:, -1] > 0.5
+            # certificate over the REAL rows only: padded zero-query
+            # rows always fail it (tau = 0, max_bm = 0) and would
+            # force the exact fallback on every ragged final tile
+            if not bool(ok[:n_real].all()):
+                # uncertified row(s): rerun the tile on the always-exact
+                # direct path (certificate failures need score mass
+                # concentrated in one 4096-doc block — rare by layout)
+                self.fallbacks += 1
+                scores_d, rows_d = _search_chunked(
+                    self._materialize(), q_dev, k=k, chunk=self.chunk,
+                    doc_scales=self._device_scales, q_scale=qs_dev)
+                return np.asarray(scores_d, np.float32), np.asarray(rows_d)
+            return scores_np, np.asarray(rows_d)
+        scores_d, rows_d = payload
+        return np.asarray(scores_d, np.float32), np.asarray(rows_d)
+
+    def tile_results(self, scores: np.ndarray, rows: np.ndarray,
+                     n_real: int) -> List[Tuple[List, List[float]]]:
+        """(scores, rows) → [(db_ids, scores), ...] for the real rows."""
+        id_map = self._id_map
+        out: List[Tuple[List, List[float]]] = []
+        for qi in range(n_real):
+            valid = (rows[qi] >= 0) & (rows[qi] < self._n)
+            out.append((id_map[rows[qi][valid]].tolist(),
+                        scores[qi][valid].tolist()))
+        return out
+
     def search_knn(self, query_vectors: np.ndarray, top_docs: int
                    ) -> List[Tuple[List, List[float]]]:
         """Returns [(db_ids, scores), ...] per query (indexer.py:210-217).
@@ -368,94 +453,34 @@ class DenseFlatIndexer(DenseIndexer):
         tile i's results are read (whole-buffer reads — see CLAUDE.md on
         why scalar reads would serialize the pipeline)."""
         assert self._n > 0, "index is empty"
-        docs = self._materialize()
+        self._materialize()
         q_all = np.asarray(query_vectors, np.float32)
         nq = q_all.shape[0]
         k = min(top_docs, self._n)
         tile = self.query_tile
-        # certified block-local selection only when the chunk tiles cleanly
-        # and can hold >= k candidates per chunk
-        blocked = (self.selection == "auto"
-                   and self.chunk % self.sel_block == 0
-                   and (self.chunk // self.sel_block) * self.block_m >= k)
         # drains stay array-native (per-entry Python id-mapping measured
         # ~209 ms per 64x1000 tile — slower than the device tile itself);
         # the id mapping + list build runs once after the pipeline
         tiles: List[Tuple[np.ndarray, np.ndarray, int]] = []
 
-        def _drain(payload, q_dev, qs_dev, n_real):
-            if blocked:
-                packed_d, rows_d = payload
-                packed = np.asarray(packed_d, np.float32)
-                scores_np, ok = packed[:, :-1], packed[:, -1] > 0.5
-                # certificate over the REAL rows only: padded zero-query
-                # rows always fail it (tau = 0, max_bm = 0) and would
-                # force the exact fallback on every ragged final tile
-                if not bool(ok[:n_real].all()):
-                    # uncertified row(s): rerun the tile on the always-exact
-                    # direct path (certificate failures need score mass
-                    # concentrated in one 4096-doc block — rare by layout)
-                    self.fallbacks += 1
-                    scores_d, rows_d = _search_chunked(
-                        docs, q_dev, k=k, chunk=self.chunk,
-                        doc_scales=self._device_scales, q_scale=qs_dev)
-                    tiles.append((np.asarray(scores_d, np.float32),
-                                  np.asarray(rows_d), n_real))
-                    return
-                tiles.append((scores_np, np.asarray(rows_d), n_real))
-                return
-            scores_d, rows_d = payload
-            tiles.append((np.asarray(scores_d, np.float32),
-                          np.asarray(rows_d), n_real))
+        def _drain(handle, n_real):
+            scores, rows = self.drain_tile(handle, n_real)
+            tiles.append((scores, rows, n_real))
 
         def _dispatch(start):
             q_tile = q_all[start:start + tile]
             n_real = q_tile.shape[0]
             if nq > tile and n_real < tile:
                 q_tile = np.pad(q_tile, ((0, tile - n_real), (0, 0)))
-            if self.quantize == "int8":
-                q_codes, q_s = _quantize_queries_int8(q_tile)
-                q_dev, qs_dev = jnp.asarray(q_codes), jnp.asarray(q_s)
-            else:
-                q_dev, qs_dev = jnp.asarray(q_tile, self.dtype), None
-            if blocked:
-                topm = self.topm
-                if topm == "auto":
-                    # the Pallas kernel needs 128-lane-aligned blocks and
-                    # m <= 128 (Mosaic tiling); anything else — and CPU,
-                    # where interpret mode crawls — keeps lax.top_k
-                    topm = ("pallas" if jax.default_backend() != "cpu"
-                            and self.sel_block % 128 == 0
-                            and self.block_m <= 128 else "xla")
-                scores_d, rows_d, ok_d = _search_chunked_blocked(
-                    docs, q_dev, k=k, chunk=self.chunk, m=self.block_m,
-                    block=self.sel_block, topm=topm,
-                    doc_scales=self._device_scales, q_scale=qs_dev)
-                # pack the [nq] certificate into the score transfer: a
-                # separate SMALL-buffer read per tile pays the ~28 ms
-                # per-call RPC floor on this backend (the same sink that
-                # deflated bench.py's headline by ~40 ms/tile — see
-                # PERFORMANCE.md small-read note)
-                payload = (jnp.concatenate(
-                    [scores_d, ok_d[:, None].astype(jnp.float32)], axis=1),
-                    rows_d)
-            else:
-                payload = _search_chunked(docs, q_dev, k=k, chunk=self.chunk,
-                                          doc_scales=self._device_scales,
-                                          q_scale=qs_dev)
-            return payload, q_dev, qs_dev, n_real
+            return self.dispatch_tile(q_tile, k), n_real
 
         from scaling_retriever_tpu.utils.utils import depth2_pipeline
 
         depth2_pipeline(range(0, nq, tile), _dispatch, lambda p: _drain(*p))
 
-        id_map = self._id_map
         out: List[Tuple[List, List[float]]] = []
         for scores, rows, n_real in tiles:
-            for qi in range(n_real):
-                valid = (rows[qi] >= 0) & (rows[qi] < self._n)
-                out.append((id_map[rows[qi][valid]].tolist(),
-                            scores[qi][valid].tolist()))
+            out.extend(self.tile_results(scores, rows, n_real))
         return out
 
     def serialize(self, index_dir: str, store_dtype=np.float32):

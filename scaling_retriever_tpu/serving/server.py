@@ -234,7 +234,7 @@ class DenseTileBackend:
         q = np.stack([np.asarray(r, np.float32) for r in reqs])
         rung = next((w for w in self.widths if w >= len(reqs)), self.width)
         if rung > len(reqs):
-            # pad with COPIES of the first query, not zeros: search_knn's
+            # pad with COPIES of the first query, not zeros: the
             # block-selection certificate fails on an all-zero row (tau =
             # max_bm = 0), which silently re-routed every ragged tile
             # through the unwarmed exact-fallback program (measured as
@@ -244,12 +244,25 @@ class DenseTileBackend:
         return q
 
     def dispatch(self, reqs: list):
-        return self.pack(reqs)
+        """ASYNC device dispatch (DenseFlatIndexer.dispatch_tile — no
+        host read) so the broker overlaps tile i+1's matmuls with tile
+        i's drain. The earlier everything-in-drain wiring (synchronous
+        search_knn per micro-batch) serialized the serving path:
+        measured 353 QPS vs the batch bench's 1271 on the same shard."""
+        disp = getattr(self.indexer, "dispatch_tile", None)
+        if disp is None:  # any search_knn-style object still works
+            return ("sync", self.pack(reqs))
+        k = min(self.topk, getattr(self.indexer, "ntotal", self.topk))
+        return ("async", disp(self.pack(reqs), k))
 
     def drain(self, payload, reqs: list) -> list:
-        hits = self.indexer.search_knn(payload, self.topk)
-        return [(ids, list(map(float, sc)))
-                for ids, sc in hits[:len(reqs)]]
+        kind, data = payload
+        if kind == "async":
+            scores, rows = self.indexer.drain_tile(data, len(reqs))
+            hits = self.indexer.tile_results(scores, rows, len(reqs))
+        else:
+            hits = self.indexer.search_knn(data, self.topk)[:len(reqs)]
+        return [(ids, list(map(float, sc))) for ids, sc in hits]
 
 
 _STOP = object()
