@@ -173,6 +173,39 @@ def test_dense_backend():
         np.testing.assert_allclose(scores, (docs @ q)[want_rows], rtol=1e-4)
 
 
+def test_dense_backend_async_blocked_ragged():
+    """The async dispatch_tile/drain_tile protocol over the BLOCKED
+    certified-selection path, driven through the broker with a ragged
+    micro-batch (pad rows are COPIES of a real query — zero rows fail
+    the certificate and would re-route every ragged tile through the
+    exact fallback). Results must match the numpy oracle exactly."""
+    import jax.numpy as jnp
+
+    from scaling_retriever_tpu.index.dense_index import DenseFlatIndexer
+
+    n, d, k = 512, 16, 5
+    docs = RNG.standard_normal((n, d)).astype(np.float32)
+    indexer = DenseFlatIndexer(dtype=jnp.float32, query_tile=8, chunk=256,
+                               selection="auto", sel_block=128, block_m=8)
+    indexer.init_index(d)
+    indexer.index_data([(f"d{i}", docs[i]) for i in range(n)])
+    # the blocked path must actually be selected for this geometry
+    assert indexer._blocked(k)
+    backend = DenseTileBackend(indexer, width=8, topk=k)
+    server = RetrievalServer(backend, max_wait_ms=2.0).start()
+    try:
+        qs = [RNG.standard_normal(d).astype(np.float32) for _ in range(3)]
+        futs = [server.submit(q) for q in qs]  # one ragged 3-wide tile
+        for q, f in zip(qs, futs):
+            ids, scores = f.result(timeout=30)
+            want_rows = np.argsort(-(docs @ q))[:k]
+            assert ids == [f"d{r}" for r in want_rows]
+            np.testing.assert_allclose(scores, (docs @ q)[want_rows],
+                                       rtol=1e-4)
+    finally:
+        server.stop()
+
+
 def test_width_ladder():
     """A width ladder pads each micro-batch to the smallest rung that
     holds it: isolated requests ride the narrow (cheap) variant, full
