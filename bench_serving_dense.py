@@ -47,7 +47,11 @@ TOPK = int(os.environ.get("SRT_BENCH_TOPK", "1000"))
 # dense tiles are matmul-bound and keep gaining to 256 wide (bench_dense's
 # batch tile); the ladder still gives isolated requests a narrow rung
 WIDTH = 256
-WIDTHS = (8, 64, 256)
+# a 128 rung matters: closed-loop micro-batches at conc 128-256 form at
+# 60-120 wide, and with (8, 64, 256) every 65..128-wide batch padded to
+# 256 — 2-4x wasted matmul rows (first ladder measured a conc-128 DIP:
+# 372 QPS vs 403 at conc 64)
+WIDTHS = (8, 32, 64, 128, 256)
 SECONDS = 8.0
 CONCURRENCY = tuple(int(c) for c in os.environ.get(
     "SRT_BENCH_CONC", "1,8,64,128,256").split(","))
