@@ -53,8 +53,13 @@ WIDTH = 256
 # 372 QPS vs 403 at conc 64)
 WIDTHS = (8, 32, 64, 128, 256)
 SECONDS = 8.0
+# conc 512 matters: with depth-2 dispatch-ahead, closed-loop clients
+# split into two cohorts, so tiles form at ~conc/2 — saturating the
+# 256-wide tile (whose cost is strongly SUBLINEAR in width: the int8
+# index stream amortizes — scripts/dense_width_probe.py measured
+# 72/163/228 ms for 8/128/256-wide) needs conc ~2x the top width rung
 CONCURRENCY = tuple(int(c) for c in os.environ.get(
-    "SRT_BENCH_CONC", "1,8,64,128,256").split(","))
+    "SRT_BENCH_CONC", "1,8,64,128,256,512").split(","))
 
 
 def log(m):
@@ -97,22 +102,33 @@ def main() -> None:
         q = rng.standard_normal(D).astype(np.float32)
         return q / np.linalg.norm(q)
 
-    def run_arm(name: str) -> dict:
+    def run_arm(name: str, depth=None, collect_ms=None,
+                max_depth=None) -> dict:
         indexer = DenseFlatIndexer(
-            quantize="int8" if name == "int8" else None)
+            quantize="int8" if name.startswith("int8") else None)
         indexer.init_index(D)
         # device-resident injection: the production search path
         # (_materialize returns these untouched)
         indexer._n = N_DOCS
         indexer.index_id_to_db_id = ids
-        if name == "int8":
+        if name.startswith("int8"):
             indexer._device_docs = codes
             indexer._device_scales = dscales
         else:
             indexer._device_docs = docs
         backend = DenseTileBackend(indexer, width=WIDTH, topk=TOPK,
                                    widths=WIDTHS)
-        server = RetrievalServer(backend, max_wait_ms=2.0)
+        # scheduler A/B knobs (see scripts/dense_width_probe.py + the
+        # PERFORMANCE.md dense-serving section): depth-1 + burst collect
+        # merges both closed-loop cohorts into one full-width tile
+        if depth is None:
+            depth = int(os.environ.get("SRT_SERVE_DEPTH", "2"))
+        if collect_ms is None:
+            collect_ms = os.environ.get("SRT_SERVE_COLLECT_MS")
+        server = RetrievalServer(
+            backend, max_wait_ms=2.0, pipeline_depth=depth,
+            max_pipeline_depth=max_depth if max_depth else 3,
+            max_collect_ms=float(collect_ms) if collect_ms else None)
         warm = server.warmup([make_query() for _ in range(WIDTH)], passes=4)
         log(f"[{name}] warmup: {warm}")
         server.start()
@@ -153,6 +169,13 @@ def main() -> None:
         return results
 
     arms = {name: run_arm(name) for name in ("bf16", "int8")}
+    if os.environ.get("SRT_SERVE_AB"):
+        # scheduler A/B over the SAME device-resident index: depth-1 +
+        # burst collect merges both closed-loop cohorts into one
+        # full-width tile per round (no dispatch-ahead overlap, but the
+        # 256-wide tile's sublinear cost can beat two 128-wide tiles)
+        arms["int8_d1burst"] = run_arm("int8_d1burst", depth=1,
+                                       collect_ms="60", max_depth=1)
     best = {name: max(r["qps"] for r in res.values())
             for name, res in arms.items()}
     lead = max(best, key=best.get)

@@ -291,9 +291,22 @@ class RetrievalServer:
     def __init__(self, backend, max_wait_ms: float = 2.0,
                  queue_limit: int = 4096, pipeline_depth: int = 2,
                  max_pipeline_depth: int = 3, hot_queue_limit: int = 32,
-                 hot_workers: int = 1, reorder_horizon: int = 4):
+                 hot_workers: int = 1, reorder_horizon: int = 4,
+                 max_collect_ms: Optional[float] = None):
         self.backend = backend
         self.max_wait = max_wait_ms / 1e3
+        # BURST collection (None = off): each arrival extends the collect
+        # deadline by the ``max_wait_ms`` quiet gap, capped at
+        # ``max_collect_ms`` total — so a resubmission burst from a just-
+        # resolved tile is captured whole instead of being cut 2 ms after
+        # its first member, while an isolated request still dispatches
+        # after one quiet gap exactly as before. Pairs with
+        # ``pipeline_depth=1`` on backends whose tile cost is sublinear
+        # in width (the dense flat index — see PERFORMANCE.md dense
+        # serving): merging both closed-loop client cohorts into ONE full
+        # tile beats overlapping two half tiles.
+        self.max_collect = (None if max_collect_ms is None
+                            else max_collect_ms / 1e3)
         # cost-modeled backends only: _collect's candidate pool extends to
         # reorder_horizon * width so admission sorts a wider window into
         # purer cost classes. Measured on the zipf corpus at conc 256
@@ -567,7 +580,9 @@ class RetrievalServer:
         batch = [first]
         use_cost = (getattr(self.backend, "admit", None) is not None
                     and getattr(self.backend, "tile_slots_cap", None))
-        deadline = time.perf_counter() + self.max_wait
+        start = time.perf_counter()
+        deadline = start + self.max_wait
+        hard = start + self.max_collect if self.max_collect else None
         # previously deferred requests ride as candidates FIRST: several
         # expensive requests stashed from one cheap tile should form ONE
         # homogeneous expensive tile behind an expensive head, not dribble
@@ -593,6 +608,9 @@ class RetrievalServer:
                 saw_stop = True
                 break
             riders.append(item)
+            if hard is not None:
+                # burst mode: this arrival buys another quiet gap
+                deadline = min(time.perf_counter() + self.max_wait, hard)
         if use_cost and riders:
             costs = [self._cost(first)]
             rider_cost = [self._cost(r) for r in riders]
@@ -841,6 +859,17 @@ def main(argv=None) -> None:
                     help="comma-separated width ladder (e.g. 8,64): "
                          "isolated requests ride the narrow rung")
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    ap.add_argument("--max_collect_ms", type=float, default=None,
+                    help="burst-collection cap: each arrival extends the "
+                         "collect window by one max_wait_ms quiet gap up "
+                         "to this total, so a resubmission burst rides ONE "
+                         "tile (pairs with --pipeline_depth 1 on the dense "
+                         "backend — PERFORMANCE.md dense serving). Unset = "
+                         "single fixed window")
+    ap.add_argument("--pipeline_depth", type=int, default=2,
+                    help="tiles dispatched ahead of the oldest drain; 1 "
+                         "with --max_collect_ms merges closed-loop client "
+                         "cohorts into full-width tiles")
     ap.add_argument("--reorder_horizon", type=int, default=4,
                     help="cost-scheduler candidate pool = horizon x width "
                          "(power-law corpora): 4 = +28% saturation QPS and "
@@ -936,7 +965,9 @@ def main(argv=None) -> None:
                                    topk=args.topk,
                                    widths=widths if widths else None)
     server = RetrievalServer(backend, max_wait_ms=args.max_wait_ms,
-                             reorder_horizon=args.reorder_horizon)
+                             reorder_horizon=args.reorder_horizon,
+                             pipeline_depth=args.pipeline_depth,
+                             max_collect_ms=args.max_collect_ms)
     print(f"index + engine resident in {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
     frontend = None

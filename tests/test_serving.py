@@ -1045,3 +1045,38 @@ def test_cost_aware_batch_split():
         assert sum(server.batch_sizes) == len(qs)  # nothing dropped
     finally:
         server.stop()
+
+
+def test_burst_collect_coalesces_trickle():
+    """``max_collect_ms`` (round 5): each arrival extends the collect
+    deadline by one quiet gap (max_wait_ms), capped at max_collect_ms —
+    a resubmission burst trickling in slower than the legacy window
+    coalesces into ONE tile instead of fragmenting. Legacy (cap unset)
+    keeps the single fixed window. Arrival pacing is wall-clock, so the
+    assertions are deliberately loose: burst mode must form strictly
+    fewer batches than arrivals, and with spacing far below the quiet
+    gap it should take the whole trickle in one tile."""
+    idx = _index()
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+    backend = SparseTileBackend(eng, idx.doc_ids, idx.nb_docs(),
+                                width=16, t_budget=8, topk=10)
+    server = RetrievalServer(backend, max_wait_ms=50.0,
+                             max_collect_ms=5000.0)
+    server.warmup(_queries(8), passes=1)
+    server.start()
+    try:
+        qs = _queries(8)
+        futs = []
+        for q in qs:
+            futs.append(server.submit(q))
+            import time as _t
+            _t.sleep(0.005)  # 5 ms spacing << 50 ms quiet gap
+        for f in futs:
+            f.result(timeout=60)
+        # all 8 trickled requests ride one tile (jitter tolerance: allow
+        # a rare split, but never one-batch-per-request fragmentation)
+        assert server.n_batches <= 2, server.stats()
+        assert max(server.batch_sizes) >= len(qs) - 1, server.stats()
+    finally:
+        server.stop()
