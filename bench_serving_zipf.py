@@ -58,6 +58,11 @@ SECONDS = 8.0
 CONCURRENCY = tuple(int(c) for c in os.environ.get(
     "SRT_BENCH_CONC", "1,8,64,128,256").split(","))
 HOT_EVERY = int(os.environ.get("SRT_HOT_EVERY", "32"))  # 1 hot per N reqs
+# admission reorder window = width * horizon; at closed-loop concurrency C
+# the pool can never exceed C, so horizon 4 (256 at width 64) already sees
+# the whole in-flight set at conc 256 — deeper horizons only matter with a
+# deeper ladder rung (sweepable here together with SRT_BENCH_CONC)
+REORDER_HORIZON = int(os.environ.get("SRT_REORDER_HORIZON", "4"))
 MAX_NEED_JOBS = 8192          # fast-lane per-query cap (~8.4M postings)
 TILE_SLOTS_CAP = 32768        # proven sort-slab envelope (CLAUDE.md)
 POOL = 2048                   # pregenerated calibrated queries
@@ -122,7 +127,8 @@ def main() -> None:
         engine, None, N_DOCS, widths=(8, 16, 32, 64), t_budget=T_BUDGET,
         topk=TOPK, max_need_jobs=MAX_NEED_JOBS, hot_lane=ZipfHostLane(t),
         tile_slots_cap=TILE_SLOTS_CAP)
-    server = RetrievalServer(backend, max_wait_ms=2.0)
+    server = RetrievalServer(backend, max_wait_ms=2.0,
+                             reorder_horizon=REORDER_HORIZON)
 
     # ---- query pools -----------------------------------------------------
     rng = np.random.default_rng(0)
@@ -239,6 +245,7 @@ def main() -> None:
     with open("BENCH_SERVING_ZIPF.json", "w") as f:
         json.dump({"results": results, "alpha": alpha,
                    "hot_every": HOT_EVERY,
+                   "reorder_horizon": REORDER_HORIZON,
                    "max_need_jobs": MAX_NEED_JOBS,
                    "tile_slots_cap": TILE_SLOTS_CAP,
                    "pool_need_p50": float(np.percentile(needs, 50)),

@@ -573,7 +573,10 @@ class RetrievalServer:
         64-wide tiles). So tiles form COST-HOMOGENEOUSLY: the head
         request is always kept (progress guarantee — an expensive head
         simply forms a narrow, expensive tile), co-riders are admitted
-        cheapest-first while the padded tile stays inside
+        bucket-aware (same-or-lower bucket most-expensive-first, so an
+        expensive head's tile retires the pool's whole expensive class
+        in one slab; bucket-raising riders last — see the inline
+        comment) while the padded tile stays inside
         ``backend.tile_slots_cap`` (SparseTileBackend.admit), and the
         rejected remainder is STASHED in arrival order to head the next
         tile — deferred by at most one tile, never dropped."""
@@ -612,9 +615,31 @@ class RetrievalServer:
                 # burst mode: this arrival buys another quiet gap
                 deadline = min(time.perf_counter() + self.max_wait, hard)
         if use_cost and riders:
-            costs = [self._cost(first)]
+            from scaling_retriever_tpu.ops.segsort_scoring import bucket_jobs
+
+            head_cost = self._cost(first)
+            costs = [head_cost]
             rider_cost = [self._cost(r) for r in riders]
-            order = sorted(range(len(riders)), key=lambda i: rider_cost[i])
+            # Admission order is bucket-aware, not cheapest-first. The
+            # tile's sort slab is width_rung * job_bucket(MAX member), so
+            # a rider at or UNDER the head's bucket rides the already-paid
+            # slab for free — and among those, the most expensive go
+            # first: when an expensive head forms a narrow tile, packing
+            # the pool's OTHER expensive requests into it retires the
+            # whole expensive class in ONE slab. (Cheapest-first here did
+            # the opposite: it filled the expensive head's tile with cheap
+            # riders — who would have ridden a 64-wide cheap tile anyway —
+            # and left each remaining expensive request to head its own
+            # narrow slab, measured as 18.9k cost-splits per 8 s window at
+            # zipf saturation.) Riders ABOVE the head's bucket would
+            # inflate the slab for every member; they sort last, cheapest
+            # first, and normally defer to head their own tile.
+            head_bucket = bucket_jobs(head_cost)
+            order = sorted(
+                range(len(riders)),
+                key=lambda i: ((0, -rider_cost[i])
+                               if bucket_jobs(rider_cost[i]) <= head_bucket
+                               else (1, rider_cost[i])))
             rejected = set()
             for i in order:
                 if (len(costs) < self.backend.width

@@ -1047,6 +1047,67 @@ def test_cost_aware_batch_split():
         server.stop()
 
 
+def test_cost_admission_groups_expensive_class():
+    """Bucket-aware admission (round 5): behind an expensive head, riders
+    at or under the head's job bucket are admitted MOST-expensive-first —
+    the head's slab is already paid, so packing the pool's other expensive
+    requests into it retires the whole expensive class in one tile.
+    (Cheapest-first admission filled the expensive tile with cheap riders
+    and left each remaining expensive request to head its own narrow
+    slab.) Pin: two cost-200 requests submitted 4 positions apart in one
+    collect window ride the SAME dispatch batch; nothing is dropped."""
+    idx = _index()
+    eng = SegsortEngine(idx, topk=10, query_terms_budget=8, min_budget=256,
+                        fetch="gather")
+
+    class SpyBackend(SparseTileBackend):
+        recording = False
+        batch_costs: list = []
+
+        def request_cost(self, query):
+            # first term id parity decides: even -> cheap, odd -> hot-term
+            return 200 if int(query[0][0]) % 2 else 1
+
+        def dispatch(self, requests):
+            if self.recording:
+                self.batch_costs.append(
+                    [self.request_cost(q) for q in requests])
+            return super().dispatch(requests)
+
+    backend = SpyBackend(eng, idx.doc_ids, idx.nb_docs(),
+                         widths=(4, 8), t_budget=8, topk=10,
+                         tile_slots_cap=1024)
+    # geometry: bucket(200)=256 so an expensive tile caps at rung 4
+    # (4*256 = 1024); bucket(1)=64 so cheap alone fills rung 8 (8*64=512)
+    assert backend.admit([200, 200, 200], 200)
+    assert not backend.admit([200, 200, 200, 200], 1)
+    # a long quiet gap holds the whole submission burst in one window
+    server = RetrievalServer(backend, max_wait_ms=150.0)
+    server.warmup(_queries(8), passes=1)
+    server.start()
+    try:
+        qs = []
+        for i, (terms, vals) in enumerate(_queries(8)):
+            terms = terms.copy()
+            want_odd = 1 if i in (0, 4) else 0  # expensive at 0 and 4
+            terms[0] = (int(terms[0]) // 2) * 2 + want_odd
+            while terms[0] in terms[1:]:
+                terms[0] = (terms[0] + 2) % V
+            qs.append((terms, vals))
+        backend.recording = True
+        futs = [server.submit(q) for q in qs]
+        for f in futs:
+            f.result(timeout=60)
+        backend.recording = False
+        exp_tiles = [tuple(c) for c in backend.batch_costs if 200 in c]
+        assert exp_tiles, backend.batch_costs
+        # both expensive requests share the FIRST expensive tile
+        assert exp_tiles[0].count(200) == 2, backend.batch_costs
+        assert sum(len(c) for c in backend.batch_costs) == len(qs)
+    finally:
+        server.stop()
+
+
 def test_burst_collect_coalesces_trickle():
     """``max_collect_ms`` (round 5): each arrival extends the collect
     deadline by one quiet gap (max_wait_ms), capped at max_collect_ms —
