@@ -58,11 +58,13 @@ SECONDS = 8.0
 CONCURRENCY = tuple(int(c) for c in os.environ.get(
     "SRT_BENCH_CONC", "1,8,64,128,256").split(","))
 HOT_EVERY = int(os.environ.get("SRT_HOT_EVERY", "32"))  # 1 hot per N reqs
-# admission reorder window = width * horizon; at closed-loop concurrency C
-# the pool can never exceed C, so horizon 4 (256 at width 64) already sees
-# the whole in-flight set at conc 256 — deeper horizons only matter with a
-# deeper ladder rung (sweepable here together with SRT_BENCH_CONC)
-REORDER_HORIZON = int(os.environ.get("SRT_REORDER_HORIZON", "4"))
+# admission reorder window = width * horizon; the pool can never exceed
+# the closed-loop concurrency, so deeper horizons only bite at the deep
+# ladder rungs. Measured same-day with bucket-aware admission (round 5):
+# horizon 8 beats 4 at saturation (conc 256: 475.6 vs 435.8 QPS, p50 448
+# vs 496 ms) — the bench defaults to 8; the server's own default stays 4
+# (the latency-SLO tradeoff documented in server.py).
+REORDER_HORIZON = int(os.environ.get("SRT_REORDER_HORIZON", "8"))
 MAX_NEED_JOBS = 8192          # fast-lane per-query cap (~8.4M postings)
 TILE_SLOTS_CAP = 32768        # proven sort-slab envelope (CLAUDE.md)
 POOL = 2048                   # pregenerated calibrated queries
