@@ -13,6 +13,11 @@
 #   VAL_DTYPE=f32            posting value layout: bf16 (6 B/posting) or
 #                            q8 (4 B/posting — halves index HBM; exact
 #                            over the 8-bit per-term-scaled codes)
+#   REORDER_HORIZON=4        cost-admission pool = horizon x tile width
+#                            (power-law corpora: 8 measured best for
+#                            throughput, 1 for latency SLOs — the
+#                            bucket-aware admission study in
+#                            PERFORMANCE.md; uniform corpora unaffected)
 set -euo pipefail
 
 INDEX_DIR=${INDEX_DIR:?set INDEX_DIR to the inverted-index directory}
@@ -20,9 +25,10 @@ PORT=${PORT:-8080}
 TOPK=${TOPK:-1000}
 WIDTHS=${WIDTHS:-8,64}
 VAL_DTYPE=${VAL_DTYPE:-f32}
+REORDER_HORIZON=${REORDER_HORIZON:-4}
 
 ARGS=(--index_dir "$INDEX_DIR" --port "$PORT" --topk "$TOPK" --widths "$WIDTHS"
-      --val_dtype "$VAL_DTYPE")
+      --val_dtype "$VAL_DTYPE" --reorder_horizon "$REORDER_HORIZON")
 if [[ -n "${WARMUP_NPZ:-}" ]]; then
   ARGS+=(--warmup_queries "$WARMUP_NPZ")
 fi
